@@ -1,0 +1,169 @@
+"""Trainable GAN encoders (the "E" networks) — flax/NHWC.
+
+TPU-native rebuild of /root/reference/model/E/:
+  * ``Encoder`` (style_mode="dual", use_blur=False)  <- E.py  (case 1)
+  * ``Encoder`` (use_blur=True)                      <- E_Blur.py (case 2):
+    adds a binomial blur before the downsampling conv and switches to
+    fused-scale (stride-2, transform-kernel) convs at resolutions >= 128
+  * ablation variants (model/E/Ablation_Study/*) via flags:
+    use_noise=False -> E_Blur_W; style_mode="single" -> E_Blur_W_2;
+    style_mode="none" -> E_Blur_Z (z head only)
+
+Each block mirrors a generator DecodeBlock in reverse: it reads the
+per-channel (mean, std) statistics as the style code *before* undoing them
+with instance norm (E.py:51-67), and the per-block style pairs are emitted
+deepest-first so ``w[:, 2i]``/``w[:, 2i+1]`` line up with generator layer i
+(E.py:126-134).
+
+Note: the reference hardcodes the fused-scale resolution ladder from 1024
+(E_Blur.py:99 ``resolution = 1024``); here it derives from the actual input
+resolution 2^(layer_count+1), which coincides for every published config.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpugan.nn.layers import EqConv, EqLinear
+from tpugan.ops.basic import (
+    downscale2d,
+    instance_moments,
+    instance_norm,
+    leaky_relu,
+    noise_inject,
+)
+from tpugan.ops.upfirdn import blur3x3
+
+
+class EncoderBlock(nn.Module):
+    """BEBlock (E.py:16-85): style stats -> w pair, IN -> conv -> noise ->
+    bias -> lrelu twice, downsample, 0.111/0.889 residual mix."""
+
+    in_features: int
+    out_features: int
+    latent_size: int = 512
+    has_last_conv: bool = True
+    fused_scale: bool = False
+    use_blur: bool = False
+    use_noise: bool = True
+    style_mode: str = "dual"  # dual | single | none
+
+    @nn.compact
+    def __call__(self, x, noise: Optional[Sequence[jax.Array]] = None):
+        cin, cout = self.in_features, self.out_features
+        emit_styles = self.style_mode != "none"
+        w1 = w2 = None
+
+        if emit_styles:
+            mean1, std1 = instance_moments(x)
+            style1 = jnp.concatenate([mean1, std1], axis=-1)
+            w1 = EqLinear(self.latent_size, gain=1.0, name="inver_mod1")(style1)
+
+        residual = x
+        x = instance_norm(x)
+        x = EqConv(cin, 3, padding=1, use_bias=False, name="conv_1")(x)
+
+        key1 = key2 = None
+        if self.use_noise and noise is None and self.has_rng("noise"):
+            key1, key2 = jax.random.split(self.make_rng("noise"))
+        if self.use_noise:
+            nw1 = self.param("noise_weight_1", nn.initializers.zeros, (cin,))
+            n1 = noise[0] if noise is not None else None
+            x = noise_inject(x, nw1, key1, n1)
+        b1 = self.param("bias_1", nn.initializers.zeros, (cin,))
+        x = leaky_relu(x + b1, 0.2)
+
+        if emit_styles and self.style_mode == "dual":
+            mean2, std2 = instance_moments(x)
+            style2 = jnp.concatenate([mean2, std2], axis=-1)
+            w2 = EqLinear(self.latent_size, gain=1.0, name="inver_mod2")(style2)
+        elif emit_styles:
+            w2 = w1
+
+        x = instance_norm(x)
+        if self.has_last_conv:
+            if self.use_blur:
+                x = blur3x3(x)
+            if self.fused_scale:
+                x = EqConv(
+                    cout, 3, stride=2, padding=1, use_bias=False,
+                    transform_kernel=True, name="conv_2",
+                )(x)
+            else:
+                x = EqConv(cout, 3, padding=1, use_bias=False, name="conv_2")(x)
+            if self.use_noise:
+                nw2 = self.param("noise_weight_2", nn.initializers.zeros, (cout,))
+                n2 = noise[1] if noise is not None else None
+                x = noise_inject(x, nw2, key2, n2)
+            b2 = self.param("bias_2", nn.initializers.zeros, (cout,))
+            x = leaky_relu(x + b2, 0.2)
+            if not self.fused_scale:
+                x = downscale2d(x)
+            residual = downscale2d(residual)
+
+        if cin != cout:
+            residual = EqConv(cout, 1, name="conv_3")(residual)
+
+        x = 0.111 * x + 0.889 * residual
+        return x, w1, w2
+
+
+class Encoder(nn.Module):
+    """BE (E.py:88-135) / BE_Blur (E_Blur.py) and ablation variants.
+
+    forward: images [N, R, R, C] -> (const features [N, 4, 4, maxf],
+    w [N, 2*layer_count, latent]) with per-block style pairs reversed to
+    match generator layer order. ``start_block`` reproduces the reference's
+    progressive ``block_num`` offset (E.py:122-134); default runs all blocks.
+    """
+
+    startf: int = 16
+    maxf: int = 512
+    layer_count: int = 9
+    latent_size: int = 512
+    channels: int = 3
+    use_blur: bool = False
+    use_noise: bool = True
+    style_mode: str = "dual"  # dual | single | none
+
+    @nn.compact
+    def __call__(self, x, start_block: int = 0, noise=None):
+        resolution = 2 ** (self.layer_count + 1)
+        x = EqConv(self.startf, 1, name="from_rgb")(x)
+        x = leaky_relu(x, 0.2)
+
+        inputs = self.startf
+        outputs = self.startf * 2
+        styles = []
+        for i in range(self.layer_count):
+            has_last_conv = i + 1 != self.layer_count
+            fused_scale = self.use_blur and resolution >= 128
+            block = EncoderBlock(
+                in_features=inputs,
+                out_features=outputs,
+                latent_size=self.latent_size,
+                has_last_conv=has_last_conv,
+                fused_scale=fused_scale,
+                use_blur=self.use_blur,
+                use_noise=self.use_noise,
+                style_mode=self.style_mode,
+                name=f"block_{i}",
+            )
+            if i >= start_block:
+                ni = noise[i] if noise is not None else None
+                x, w1, w2 = block(x, ni)
+                if self.style_mode != "none":
+                    # (w2, w1) pair per block, later blocks in front (E.py:130-134)
+                    styles.append(jnp.stack([w2, w1], axis=1))
+            inputs = min(self.maxf, inputs * 2)
+            outputs = min(self.maxf, outputs * 2)
+            resolution //= 2
+
+        if self.style_mode == "none":
+            return x, None
+        w = jnp.concatenate(styles[::-1], axis=1)
+        return x, w

@@ -1,0 +1,9 @@
+from tpugan.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    DATA_AXIS,
+    SPACE_AXIS,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "DATA_AXIS", "SPACE_AXIS"]

@@ -1,0 +1,201 @@
+"""Encoder training on synthesized (z -> G -> image) pairs.
+
+TPU-native rebuild of the reference training loops:
+  * case 1 — E_align_cropping_s1.py:23-298 (aligned, image losses detached:
+    the reference detaches imgs and both crops before space_loss
+    (:185-201), so the image-space backward reaches no encoder parameter
+    and only the ``0.01 * loss_w`` step trains E; we reproduce exactly that
+    single effective update)
+  * case 2 — E_align_s2.py (aligned, gradients flow through image losses;
+    ``loss_tsa = imgs + 5*AT1 + 9*AT2`` then a second step on
+    ``0.01 * loss_w`` — two sequential optimizer updates per iteration,
+    both gradients taken at the iteration's initial parameters, matching
+    the reference's two backward/step calls on one forward graph
+    (E_align_s2.py:205-222))
+
+The whole iteration — synthesis, encoding, both losses, both optimizer
+updates — is one jitted function; logging info is returned as scalars so
+the host syncs only at its own cadence (the reference's per-iteration
+.item() calls are deliberately not replicated; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tpugan.losses.space_loss import SpaceLossInfo, space_loss
+from tpugan.models.encoders import Encoder
+from tpugan.models.stylegan1 import StyleGANv1Generator, StyleGANv1Mapping, truncation_coefs
+from tpugan.utils import iteration_key
+
+
+class EncoderTrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class SynthBatch(NamedTuple):
+    """A frozen-generator sample: latents, target images, generator const."""
+
+    w1: jax.Array
+    imgs1: jax.Array
+    const1: jax.Array
+
+
+class StepInfo(NamedTuple):
+    loss_imgs: SpaceLossInfo
+    loss_medium: SpaceLossInfo
+    loss_small: SpaceLossInfo
+    loss_w: SpaceLossInfo
+    loss_c: SpaceLossInfo
+    loss_tsa: jax.Array
+    loss_mtv: jax.Array
+
+
+def attention_crops(imgs: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """AT1/AT2 center crops for aligned data (NHWC).
+
+    AT1 keeps full height, crops width to the middle 3/4
+    (E_align_cropping_s1.py:188); AT2 crops both dims by 1/8 + 1/32 per
+    side (:193-199).
+    """
+    h, w = imgs.shape[1], imgs.shape[2]
+    at1 = imgs[:, :, w // 8 : w - w // 8, :]
+    dh = h // 8 + h // 32
+    dw = w // 8 + w // 32
+    at2 = imgs[:, dh : h - dh, dw : w - dw, :]
+    return at1, at2
+
+
+def build_stylegan1_pipeline(
+    gen: StyleGANv1Generator,
+    gm: StyleGANv1Mapping,
+    gen_vars: Any,
+    gm_vars: Any,
+    lod: int,
+    psi: float = 0.7,
+    center: Optional[jax.Array] = None,
+):
+    """Frozen StyleGANv1 synth/resynth closures (mtype 1).
+
+    Mirrors E_align_cropping_s1.py:106-109 (w1 = Gm(z, coefs); imgs1 =
+    Gs(w1, lod)) and :157-158 (imgs2 = Gs(w2, lod)).
+    """
+    coefs = truncation_coefs(gm.num_layers, psi)
+
+    def synth(key: jax.Array, z: jax.Array) -> SynthBatch:
+        w1 = gm.apply(gm_vars, z, coefs, center)
+        imgs1 = gen.apply(gen_vars, w1, lod, rngs={"noise": key})
+        const1 = jnp.repeat(gen_vars["params"]["const"], z.shape[0], axis=0)
+        return SynthBatch(w1=w1, imgs1=imgs1, const1=const1)
+
+    def resynth(w2: jax.Array, key: jax.Array) -> jax.Array:
+        return gen.apply(gen_vars, w2, lod, rngs={"noise": key})
+
+    return synth, resynth
+
+
+def make_train_step(
+    encoder: Encoder,
+    enc_extra_vars: Any,
+    synth: Callable[[jax.Array, jax.Array], SynthBatch],
+    resynth: Callable[[jax.Array, jax.Array], jax.Array],
+    optimizer: optax.GradientTransformation,
+    z_dim: int,
+    batch_size: int,
+    case: int = 1,
+    lpips_fn=None,
+    seed_salt: int = 0,
+):
+    """Build the jitted per-iteration train step.
+
+    Returns ``step(state, iteration) -> (state, StepInfo)``. ``iteration``
+    is a traced int32 scalar; the PRNG follows the reference seed
+    discipline (seed = iteration % 30000).
+    """
+
+    def losses(params, batch: SynthBatch, key_enc, key_resynth):
+        const2, w2 = encoder.apply(
+            {**enc_extra_vars, "params": params}, batch.imgs1, rngs={"noise": key_enc}
+        )
+        imgs2 = resynth(w2, key_resynth)
+
+        if case == 1:
+            # reference detaches both sides of every image-space loss
+            # (E_align_cropping_s1.py:185-201): log-only, no gradient
+            i1 = jax.lax.stop_gradient(batch.imgs1)
+            i2 = jax.lax.stop_gradient(imgs2)
+        else:
+            i1, i2 = batch.imgs1, imgs2
+
+        l_imgs, i_imgs = space_loss(i1, i2, lpips_fn=lpips_fn)
+        at1_1, at2_1 = attention_crops(i1)
+        at1_2, at2_2 = attention_crops(i2)
+        l_med, i_med = space_loss(at1_1, at1_2, lpips_fn=lpips_fn)
+        l_small, i_small = space_loss(at2_1, at2_2, lpips_fn=lpips_fn)
+
+        if case == 1:
+            loss_tsa = l_imgs + l_med + l_small  # :203 (equal weights)
+        else:
+            loss_tsa = l_imgs + 5.0 * l_med + 9.0 * l_small  # E_align_s2.py:205
+
+        l_w, i_w = space_loss(batch.w1, w2, image_space=False)
+        l_c, i_c = space_loss(
+            jax.lax.stop_gradient(batch.const1), const2, image_space=False
+        )
+        loss_mtv = 0.01 * l_w  # loss_c excluded in both scripts (:216)
+
+        info = StepInfo(
+            loss_imgs=i_imgs, loss_medium=i_med, loss_small=i_small,
+            loss_w=i_w, loss_c=i_c, loss_tsa=loss_tsa, loss_mtv=loss_mtv,
+        )
+        return loss_tsa, loss_mtv, info
+
+    def step(state: EncoderTrainState, iteration) -> tuple[EncoderTrainState, StepInfo]:
+        key = iteration_key(iteration, salt=seed_salt)
+        kz, kg1, ke, kg2 = jax.random.split(key, 4)
+        z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
+        batch = jax.lax.stop_gradient(synth(kg1, z))
+
+        if case == 1:
+            # image losses carry no gradient; single effective update on mtv
+            def mtv_loss(p):
+                _, loss_mtv, info = losses(p, batch, ke, kg2)
+                return loss_mtv, info
+
+            (_, info), grads = jax.value_and_grad(mtv_loss, has_aux=True)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+        else:
+            # two sequential updates, both gradients at the initial params
+            def tsa_loss(p):
+                loss_tsa, _, info = losses(p, batch, ke, kg2)
+                return loss_tsa, info
+
+            def mtv_loss(p):
+                _, loss_mtv, _ = losses(p, batch, ke, kg2)
+                return loss_mtv
+
+            (_, info), g_tsa = jax.value_and_grad(tsa_loss, has_aux=True)(state.params)
+            g_mtv = jax.grad(mtv_loss)(state.params)
+            updates, opt_state = optimizer.update(g_tsa, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            updates, opt_state = optimizer.update(g_mtv, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+        return state.replace(params=params, opt_state=opt_state, step=state.step + 1), info
+
+    return step
+
+
+def init_train_state(params, optimizer) -> EncoderTrainState:
+    return EncoderTrainState(
+        params=params, opt_state=optimizer.init(params), step=jnp.zeros([], jnp.int32)
+    )
