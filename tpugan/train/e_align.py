@@ -113,13 +113,40 @@ def make_train_step(
     case: int = 1,
     lpips_fn=None,
     seed_salt: int = 0,
+    mesh=None,
+    spatial: bool = False,
 ):
     """Build the jitted per-iteration train step.
 
     Returns ``step(state, iteration) -> (state, StepInfo)``. ``iteration``
     is a traced int32 scalar; the PRNG follows the reference seed
     discipline (seed = iteration % 30000).
+
+    With ``mesh``, sharding constraints pin the batch to the ``data`` axis
+    and (``spatial=True``) the image height to the ``space`` axis; XLA
+    inserts the gradient psum and conv halo exchanges.
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpugan.parallel.mesh import DATA_AXIS, SPACE_AXIS
+
+        batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+        img_sh = NamedSharding(
+            mesh, P(DATA_AXIS, SPACE_AXIS) if spatial else P(DATA_AXIS)
+        )
+
+        def constrain(z, batch):
+            z = jax.lax.with_sharding_constraint(z, batch_sh)
+            batch = SynthBatch(
+                w1=jax.lax.with_sharding_constraint(batch.w1, batch_sh),
+                imgs1=jax.lax.with_sharding_constraint(batch.imgs1, img_sh),
+                const1=jax.lax.with_sharding_constraint(batch.const1, batch_sh),
+            )
+            return z, batch
+    else:
+        def constrain(z, batch):
+            return z, batch
 
     def losses(params, batch: SynthBatch, key_enc, key_resynth):
         const2, w2 = encoder.apply(
@@ -163,6 +190,7 @@ def make_train_step(
         kz, kg1, ke, kg2 = jax.random.split(key, 4)
         z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
         batch = jax.lax.stop_gradient(synth(kg1, z))
+        z, batch = constrain(z, batch)
 
         if case == 1:
             # image losses carry no gradient; single effective update on mtv
