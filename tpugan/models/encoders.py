@@ -167,3 +167,167 @@ class Encoder(nn.Module):
             return x, None
         w = jnp.concatenate(styles[::-1], axis=1)
         return x, w
+
+
+class PGEncoderBlock(nn.Module):
+    """E_PG BEBlock (model/E/E_PG.py:39-108): no style heads; residual via
+    1x1 conv + affine instance norm; post-block avg-pool."""
+
+    in_features: int
+    out_features: int
+    has_second_conv: bool = True
+    use_noise: bool = True
+
+    @nn.compact
+    def __call__(self, x, noise=None):
+        cin, cout = self.in_features, self.out_features
+        residual = x
+        x = instance_norm(x)
+        x = EqConv(cin, 3, padding=1, use_bias=False, name="conv_1")(x)
+        key1 = key2 = None
+        if self.use_noise and noise is None and self.has_rng("noise"):
+            key1, key2 = jax.random.split(self.make_rng("noise"))
+        nw1 = self.param("noise_weight_1", nn.initializers.zeros, (cin,))
+        x = noise_inject(x, nw1, key1, noise[0] if noise is not None else None)
+        b1 = self.param("bias_1", nn.initializers.zeros, (cin,))
+        x = leaky_relu(x + b1, 0.2)
+
+        if self.has_second_conv:
+            x = instance_norm(x)
+            x = EqConv(cout, 3, padding=1, use_bias=False, name="conv_2")(x)
+            nw2 = self.param("noise_weight_2", nn.initializers.zeros, (cout,))
+            x = noise_inject(x, nw2, key2, noise[1] if noise is not None else None)
+            b2 = self.param("bias_2", nn.initializers.zeros, (cout,))
+            x = x + b2
+            if cin != cout:
+                residual = EqConv(cout, 1, name="conv_3")(residual)
+                residual = instance_norm(residual)
+                # affine instance norm (E_PG.py:67)
+                g = self.param("in3_scale", nn.initializers.ones, (cout,))
+                b = self.param("in3_bias", nn.initializers.zeros, (cout,))
+                residual = residual * g + b
+            x = x + residual
+            x = leaky_relu(x, 0.2)
+            x = downscale2d(x)
+        return x
+
+
+class PGEncoder(nn.Module):
+    """E_PG BE (model/E/E_PG.py:111-164): FromRGB -> blocks -> flattened
+    4x4 dense head to z.
+
+    NOTE the reference forward computes ``new_final`` but then returns the
+    pre-head ``(tensor(0), tensor(0))`` (E_PG.py:163-164 discards x) — an
+    outright bug that would crash its own training script. Here the
+    intended contract is implemented: returns (features, z [N, latent]).
+    """
+
+    startf: int = 64
+    maxf: int = 512
+    layer_count: int = 7
+    latent_size: int = 512
+    channels: int = 3
+
+    @nn.compact
+    def __call__(self, x, noise=None):
+        x = EqConv(self.startf, 1, name="from_rgb")(x)
+        x = leaky_relu(x, 0.2)
+        inputs, outputs = self.startf, self.startf * 2
+        for i in range(self.layer_count):
+            has_second_conv = i + 1 != self.layer_count
+            ni = noise[i] if noise is not None else None
+            x = PGEncoderBlock(
+                in_features=inputs, out_features=outputs,
+                has_second_conv=has_second_conv, name=f"block_{i}",
+            )(x, ni)
+            inputs = min(self.maxf, inputs * 2)
+            outputs = min(self.maxf, outputs * 2)
+        feats = x
+        z = EqLinear(self.latent_size, gain=1.0, name="new_final")(
+            x.reshape(x.shape[0], -1)
+        )
+        return feats, z
+
+
+class BigGANEncoderBlock(nn.Module):
+    """E_BIG BEBlock (model/E/E_BIG.py:93-169): conditional BigGAN batch
+    norms replace instance norm; includes the reference's double-lrelu
+    quirk on channel-changing blocks (:158,163)."""
+
+    in_features: int
+    out_features: int
+    cond_dim: int = 256
+    n_stats: int = 51
+    has_second_conv: bool = True
+    truncation: float = 0.4  # hardcoded in the reference forward (:217)
+
+    @nn.compact
+    def __call__(self, x, cond_vector, noise=None):
+        from tpugan.models.biggan import BigGANBatchNorm
+
+        cin, cout = self.in_features, self.out_features
+
+        def bn(name):
+            return BigGANBatchNorm(
+                cin, self.cond_dim, n_stats=self.n_stats, eps=1e-12,
+                conditional=True, sn=True, name=name,
+            )
+
+        residual = x
+        x = bn("batch_norm_1")(x, self.truncation, cond_vector)
+        x = EqConv(cin, 3, padding=1, use_bias=False, name="conv_1")(x)
+        key1 = key2 = None
+        if noise is None and self.has_rng("noise"):
+            key1, key2 = jax.random.split(self.make_rng("noise"))
+        nw1 = self.param("noise_weight_1", nn.initializers.zeros, (cin,))
+        x = noise_inject(x, nw1, key1, noise[0] if noise is not None else None)
+        b1 = self.param("bias_1", nn.initializers.zeros, (cin,))
+        x = leaky_relu(x + b1, 0.2)
+
+        if self.has_second_conv:
+            x = bn("batch_norm_2")(x, self.truncation, cond_vector)
+            x = EqConv(cout, 3, padding=1, use_bias=False, name="conv_2")(x)
+            nw2 = self.param("noise_weight_2", nn.initializers.zeros, (cout,))
+            x = noise_inject(x, nw2, key2, noise[1] if noise is not None else None)
+            b2 = self.param("bias_2", nn.initializers.zeros, (cout,))
+            x = leaky_relu(x + b2, 0.2)
+            if cin != cout:
+                residual = bn("batch_norm_3")(residual, self.truncation, cond_vector)
+                residual = EqConv(cout, 1, name="conv_3")(residual)
+                x = leaky_relu(x, 0.2)  # reference double-lrelu quirk (:163)
+            x = x + residual
+            x = downscale2d(x)
+        return x
+
+
+class BigGANEncoder(nn.Module):
+    """E_BIG BE (model/E/E_BIG.py:172-227): plain-conv FromRGB, conditional
+    blocks, dual heads -> (cond_vector [N, 256], z [N, 128])."""
+
+    startf: int = 64
+    maxf: int = 512
+    layer_count: int = 7
+    channels: int = 3
+    cond_dim: int = 256
+    z_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x, cond_vector, noise=None):
+        # E_BIG uses a plain torch Conv2d FromRGB (:87), not an lreq conv
+        x = nn.Conv(self.startf, (1, 1), name="from_rgb")(x)
+        x = leaky_relu(x, 0.2)
+        inputs, outputs = self.startf, self.startf * 2
+        for i in range(self.layer_count):
+            has_second_conv = i + 1 != self.layer_count
+            ni = noise[i] if noise is not None else None
+            x = BigGANEncoderBlock(
+                in_features=inputs, out_features=outputs, cond_dim=self.cond_dim,
+                has_second_conv=has_second_conv, name=f"block_{i}",
+            )(x, cond_vector, ni)
+            inputs = min(self.maxf, inputs * 2)
+            outputs = min(self.maxf, outputs * 2)
+        c_v = EqLinear(self.cond_dim, gain=1.0, name="new_final_1")(
+            x.reshape(x.shape[0], -1)
+        )
+        z = EqLinear(self.z_dim, gain=1.0, name="new_final_2")(c_v)
+        return c_v, z
