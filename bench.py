@@ -20,6 +20,10 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+from tpugan.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 
@@ -36,7 +40,7 @@ def build_step():
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
     from tpugan.train import build_stylegan1_pipeline, make_train_step
-    from tpugan.train.e_align import init_train_state
+    from tpugan.train.e_align import init_train_state, make_encode_fn
 
     gen = StyleGANv1Generator(startf=STARTF, maxf=512, layer_count=LAYER_COUNT, latent_size=LATENT)
     gm = StyleGANv1Mapping(num_layers=2 * LAYER_COUNT, mapping_layers=8)
@@ -56,8 +60,7 @@ def build_step():
     opt = lreq_adam(0.0015, coefs=coefs_tree)
     synth, resynth = build_stylegan1_pipeline(gen, gm, gen_vars, gm_vars, lod=LAYER_COUNT - 1)
     step = make_train_step(
-        encoder=enc,
-        enc_extra_vars={k: v for k, v in enc_vars.items() if k != "params"},
+        encode=make_encode_fn(enc, {k: v for k, v in enc_vars.items() if k != "params"}),
         synth=synth,
         resynth=resynth,
         optimizer=opt,

@@ -1,0 +1,99 @@
+"""Supplementary bench: StyleGAN2-1024 case-2 E_Blur training step.
+
+The BASELINE.md flagship config (--mtype 2, --start_features 16, 1024^2,
+image gradients through the full pixel pipeline). Prints one JSON line.
+Usage: python scripts/bench_sg2_1024.py [--batch N] [--res 1024] [--remat]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from tpugan.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from tpugan.models import Encoder, StyleGAN2Generator
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.train import make_encode_fn, make_train_step
+    from tpugan.train.e_align import SynthBatch, init_train_state
+
+    res = args.res
+    startf = {128: 128, 256: 64, 512: 32, 1024: 16}[res]
+    layer_count = {128: 6, 256: 7, 512: 8, 1024: 9}[res]
+    batch = args.batch
+
+    gen = StyleGAN2Generator(resolution=res)
+    enc = Encoder(startf=startf, maxf=512, layer_count=layer_count, latent_size=512, use_blur=True)
+    key = jax.random.PRNGKey(0)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        gvars = jax.jit(gen.init)({"params": key}, jnp.zeros((1, 512)))
+        evars = jax.jit(enc.init)({"params": key, "noise": key}, jnp.zeros((1, res, res, 3)))
+    print("init done", flush=True)
+
+    coefs = lreq_coef_tree(evars["params"], evars["lreq"])
+    opt = lreq_adam(0.0015, coefs=coefs)
+
+    def synth(k, z):
+        out = gen.apply(gvars, z, trunc_psi=0.7, trunc_layers=8)
+        const1 = jnp.repeat(gvars["params"]["synthesis"]["const"], z.shape[0], axis=0)
+        return SynthBatch(w1=out["wp"], imgs1=out["image"], const1=const1)
+
+    def resynth(w, b, k):
+        return gen.apply(gvars, w, method=gen.synthesize)["image"]
+
+    step = make_train_step(
+        encode=make_encode_fn(enc, {k_: v for k_, v in evars.items() if k_ != "params"}),
+        synth=synth,
+        resynth=resynth,
+        optimizer=opt,
+        z_dim=512,
+        batch_size=batch,
+        case=2,
+    )
+    state = init_train_state(evars["params"], opt)
+    jitted = jax.jit(step)
+
+    t0 = time.time()
+    state, info = jitted(state, jnp.int32(0))
+    jax.block_until_ready(state)
+    print(f"compile+first step: {time.time()-t0:.0f}s", flush=True)
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, info = jitted(state, jnp.int32(i))
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(
+        json.dumps(
+            {
+                "metric": f"e_blur_case2_train_images_per_sec_{res}",
+                "value": round(batch / dt, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": 0.0,
+                "ms_per_step": round(dt * 1e3, 1),
+                "loss_tsa": float(info.loss_tsa),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import os
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+from tpugan.runtime import enable_compilation_cache
+enable_compilation_cache()
 
 import jax
 import jax.numpy as jnp

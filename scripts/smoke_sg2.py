@@ -4,6 +4,8 @@ plus the synthesis-only re-entry used by encoder training."""
 import pathlib, sys, os, time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+from tpugan.runtime import enable_compilation_cache
+enable_compilation_cache()
 import jax, jax.numpy as jnp
 from tpugan.models.stylegan2 import StyleGAN2Generator
 

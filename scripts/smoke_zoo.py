@@ -3,6 +3,8 @@ backend — the mtype-3/mtype-4 synthesis->encode paths a user runs."""
 import pathlib, sys, os, time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+from tpugan.runtime import enable_compilation_cache
+enable_compilation_cache()
 import jax, jax.numpy as jnp
 from tpugan.models import (BigGAN, BigGANConfig, BigGANEncoder, PGEncoder, PGGANGenerator)
 from tpugan.utils import one_hot, truncated_noise_sample

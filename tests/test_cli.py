@@ -1,0 +1,116 @@
+"""CLI smoke tests: run each front-end in-process on tiny random-init
+configs (the reference flag surface, --mtype/--img_size/--start_features)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+TINY = ["--img_size", "16", "--start_features", "128", "--random_init"]
+
+
+def test_e_align_cli_case1(tmp_path):
+    from tpugan.cli.e_align import main
+
+    exp = str(tmp_path / "exp")
+    main(
+        ["--mtype", "1", *TINY, "--iterations", "2", "--batch_size", "2",
+         "--log_every", "1", "--experiment_dir", exp]
+    )
+    assert os.path.exists(os.path.join(exp, "Loss.txt"))
+    lines = open(os.path.join(exp, "Loss.txt")).read().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert np.isfinite(rec["loss_mtv"]) and np.isfinite(rec["loss_tsa"])
+    assert any(f.endswith(".jpg") for f in os.listdir(os.path.join(exp, "imgs")))
+
+
+def test_e_align_cli_case2_pggan(tmp_path):
+    from tpugan.cli.e_align import main
+
+    exp = str(tmp_path / "exp3")
+    main(
+        ["--mtype", "3", *TINY, "--iterations", "1", "--batch_size", "2",
+         "--log_every", "1", "--experiment_dir", exp]
+    )
+    assert os.path.exists(os.path.join(exp, "Loss.txt"))
+
+
+def test_embedding_cli_optimize_w(tmp_path):
+    from tpugan.cli.embedding import main
+    from tpugan.io.image import save_image
+
+    img_dir = str(tmp_path / "imgs_in")
+    os.makedirs(img_dir)
+    rngs = np.random.RandomState(0)
+    for i in range(2):
+        save_image(os.path.join(img_dir, f"{i}.png"), rngs.rand(16, 16, 3).astype(np.float32))
+
+    exp = str(tmp_path / "exp_embed")
+    main(
+        ["--mtype", "1", *TINY, "--iterations", "4", "--batch_size", "1",
+         "--img_dir", img_dir, "--optimizeE", "false", "--experiment_dir", exp]
+    )
+    models = os.path.join(exp, "models")
+    assert os.path.exists(os.path.join(models, "w_all.npy"))
+    w_all = np.load(os.path.join(models, "w_all.npy"))
+    assert w_all.shape == (2, 6, 512)
+
+
+def test_edit_cli(tmp_path):
+    from tpugan.cli.edit import main
+
+    w = np.random.RandomState(0).randn(1, 6, 512).astype(np.float32)
+    d = np.random.RandomState(1).randn(1, 512).astype(np.float32)
+    w_path = str(tmp_path / "w.npy")
+    d_path = str(tmp_path / "d.npy")
+    np.save(w_path, w)
+    np.save(d_path, d)
+    out = str(tmp_path / "edited.png")
+    main(
+        ["--mtype", "1", *TINY, "--w_path", w_path, "--direction", d_path,
+         "--bonus", "2.0", "--start", "0", "--end", "6", "--out", out]
+    )
+    assert os.path.exists(out)
+
+
+def test_compare_cli(tmp_path, capsys):
+    from tpugan.cli.compare import main
+    from tpugan.io.image import save_image
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    rngs = np.random.RandomState(0)
+    img = rngs.rand(16, 16, 3).astype(np.float32)
+    save_image(os.path.join(d1, "x.png"), img)
+    save_image(os.path.join(d2, "x.png"), img)
+    main(["--dir1", d1, "--dir2", d2, "--img_size", "16"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(out)
+    assert result["ssim"] > 0.999 and result["mse"] < 1e-4
+
+
+def test_rec_real_img_cli(tmp_path):
+    from tpugan.cli.rec_real_img import main
+    from tpugan.io.image import save_image
+
+    img_dir = str(tmp_path / "real")
+    os.makedirs(img_dir)
+    save_image(os.path.join(img_dir, "0.png"), np.random.rand(16, 16, 3).astype(np.float32))
+    exp = str(tmp_path / "exp_rec")
+    main(["--mtype", "1", *TINY, "--img_dir", img_dir, "--experiment_dir", exp])
+    files = os.listdir(os.path.join(exp, "imgs"))
+    assert "00000_real.png" in files and "00000_rec.png" in files
+
+
+def test_synthesize_cli(tmp_path):
+    from tpugan.cli.synthesize import main
+
+    exp = str(tmp_path / "exp_syn")
+    main(
+        ["--mtype", "1", *TINY, "--batch_size", "2", "--count", "2",
+         "--experiment_dir", exp]
+    )
+    files = os.listdir(os.path.join(exp, "imgs"))
+    assert "seed30000.png" in files and "seed30001.png" in files

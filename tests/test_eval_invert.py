@@ -1,0 +1,119 @@
+"""Eval metrics, image IO, inversion and editing tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpugan.eval.metrics import pair_metrics, psnr, ssim_uniform
+from tpugan.invert.edit import edit_latent
+from tpugan.io.image import (
+    from_unit,
+    load_image,
+    load_image_dir,
+    save_image,
+    save_image_grid,
+    to_unit,
+)
+
+
+def test_metric_identity_fixpoint(rng):
+    """comparing-baseline.py:88 anchor: identical images give psnr inf,
+    ssim 1, mse 0, cosine 1."""
+    a = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32))
+    m = pair_metrics(a, a)
+    assert np.isinf(float(m.psnr)) or float(m.psnr) > 80
+    np.testing.assert_allclose(float(m.ssim), 1.0, atol=1e-5)
+    np.testing.assert_allclose(float(m.mse), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(m.cosine), 1.0, atol=1e-5)
+
+
+def test_psnr_known_value():
+    a = jnp.zeros((8, 8, 3))
+    b = jnp.full((8, 8, 3), 16.0)
+    # mse = 256 -> psnr = 10*log10(255^2/256) = 24.05
+    np.testing.assert_allclose(float(psnr(a, b)), 10 * np.log10(255.0**2 / 256.0), rtol=1e-5)
+
+
+def test_ssim_uniform_reasonable(rng):
+    a = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32) * 255)
+    noise = jnp.asarray(rng.randn(64, 64, 3).astype(np.float32) * 5)
+    s_close = float(ssim_uniform(a, a + noise))
+    s_far = float(ssim_uniform(a, jnp.asarray(rng.rand(64, 64, 3).astype(np.float32) * 255)))
+    assert 0.5 < s_close <= 1.0
+    assert s_far < s_close
+
+
+def test_image_io_roundtrip(tmp_path, rng):
+    img = rng.rand(16, 16, 3).astype(np.float32)
+    p = str(tmp_path / "a" / "img.png")
+    save_image(p, img)
+    back = load_image(p)
+    np.testing.assert_allclose(back, img, atol=1.0 / 255.0 + 1e-3)
+    # resize path
+    back2 = load_image(p, size=8)
+    assert back2.shape == (8, 8, 3)
+    # dir loading
+    save_image(str(tmp_path / "a" / "img2.png"), img)
+    batch = load_image_dir(str(tmp_path / "a"))
+    assert batch.shape == (2, 16, 16, 3)
+    # grid
+    save_image_grid(str(tmp_path / "grid.png"), batch, nrow=2)
+    assert os.path.exists(tmp_path / "grid.png")
+    # unit conversions
+    np.testing.assert_allclose(from_unit(to_unit(np.zeros((2, 2, 3)) - 0.5)), -0.5)
+
+
+def test_edit_latent_slice_semantics(rng):
+    w = jnp.asarray(rng.randn(1, 6, 8).astype(np.float32))
+    d = jnp.asarray(rng.randn(8).astype(np.float32))
+    out = edit_latent(w, d, bonus=2.0, start=1, end=3)
+    # layers 1..3 edited, others untouched
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(w[:, 0]))
+    np.testing.assert_allclose(np.asarray(out[:, 4:]), np.asarray(w[:, 4:]))
+    np.testing.assert_allclose(
+        np.asarray(out[:, 1]), np.asarray(w[:, 1] + 2.0 * d[None]), rtol=1e-5
+    )
+
+
+def _tiny_inversion_setup(optimize_e):
+    from tpugan.invert import EmbeddingConfig, make_embedder
+    from tpugan.models import Encoder, StyleGANv1Generator
+    from tpugan.ops.eq_lr import lreq_coef_tree
+
+    layer_count, startf, latent = 3, 8, 32
+    gen = StyleGANv1Generator(startf=startf, maxf=32, layer_count=layer_count, latent_size=latent)
+    enc = Encoder(startf=startf, maxf=32, layer_count=layer_count, latent_size=latent)
+    key = jax.random.PRNGKey(0)
+    gen_vars = gen.init({"params": key, "noise": key}, jnp.zeros((1, 6, latent)))
+    enc_vars = enc.init({"params": key, "noise": key}, jnp.zeros((1, 16, 16, 3)))
+    enc_extra = {k: v for k, v in enc_vars.items() if k != "params"}
+    coefs = lreq_coef_tree(enc_vars["params"], enc_vars["lreq"])
+
+    def encode(params, imgs):
+        return enc.apply({**enc_extra, "params": params}, imgs, rngs={"noise": key})
+
+    def resynth(w):
+        return gen.apply(gen_vars, w, rngs={"noise": key})
+
+    cfg = EmbeddingConfig(iterations=20, chunk=10, lr=0.01, optimize_e=optimize_e)
+    invert = make_embedder(encode, resynth, enc_vars["params"], coefs, cfg)
+
+    # target: a synthetic image from the generator itself
+    w_true = jax.random.normal(jax.random.PRNGKey(5), (1, 6, latent))
+    target = gen.apply(gen_vars, w_true, rngs={"noise": key})
+    return invert, target
+
+
+@pytest.mark.parametrize("optimize_e", [False, True])
+def test_inversion_reduces_loss(optimize_e):
+    invert, target = _tiny_inversion_setup(optimize_e)
+    result = invert(target)
+    assert result.w.shape == (1, 6, 32)
+    assert result.images.shape == target.shape
+    l_first = float(result.losses[0][0])
+    l_last = float(result.losses[-1][0])
+    assert np.isfinite(l_first) and np.isfinite(l_last)
+    assert l_last < l_first  # image loss decreased over 20 iterations

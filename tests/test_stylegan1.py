@@ -178,3 +178,39 @@ def test_discriminator_shapes():
     variables = d.init(jax.random.PRNGKey(0), x)
     out = d.apply(variables, x)
     assert out.shape == (2, 1)
+
+
+def test_decode3_blob_removal_and_mapping_variants(rng):
+    from tpugan.models.stylegan1 import (
+        StyleGANv1Mapping2,
+        StyleGANv1Mapping3,
+        StyleGANv1Mapping4,
+    )
+
+    gen = StyleGANv1Generator(startf=8, maxf=32, layer_count=5, latent_size=16)
+    styles = jnp.asarray(rng.randn(1, 10, 16).astype(np.float32))
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, styles
+    )
+    out = gen.apply(
+        variables, styles, 4, rngs={"noise": jax.random.PRNGKey(2)},
+        method=lambda m, s, lod: m.decode3(s, lod),
+    )
+    # lod < 8 returns the normalized grayscale heatmap in [0, 1]
+    assert out.shape == (1, 64, 64, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0 + 1e-5
+
+    z = jnp.asarray(rng.randn(2, 512).astype(np.float32))
+    m2 = StyleGANv1Mapping2(num_layers=18, mapping_layers=3)
+    v = m2.init(jax.random.PRNGKey(0), z)
+    assert m2.apply(v, z).shape == (2, 18, 512)
+    m2i = StyleGANv1Mapping2(num_layers=18, mapping_layers=3, inverse=True)
+    wp = jnp.asarray(rng.randn(2, 18, 512).astype(np.float32))
+    v = m2i.init(jax.random.PRNGKey(0), wp)
+    assert m2i.apply(v, wp).shape == (2, 512)
+    m3 = StyleGANv1Mapping3()
+    v = m3.init(jax.random.PRNGKey(0), z)
+    assert m3.apply(v, z).shape == (2, 18, 512)
+    m4 = StyleGANv1Mapping4()
+    v = m4.init(jax.random.PRNGKey(0), wp)
+    assert m4.apply(v, wp).shape == (2, 512)

@@ -9,7 +9,7 @@ from tpugan.models import Encoder, StyleGANv1Generator, StyleGANv1Mapping
 from tpugan.optim import lreq_adam
 from tpugan.ops.eq_lr import lreq_coef_tree
 from tpugan.train import build_stylegan1_pipeline, make_train_step
-from tpugan.train.e_align import attention_crops, init_train_state
+from tpugan.train.e_align import attention_crops, init_train_state, make_encode_fn
 
 
 def _tiny_setup(case, batch=2, use_blur=False):
@@ -28,8 +28,7 @@ def _tiny_setup(case, batch=2, use_blur=False):
     opt = lreq_adam(0.0015, coefs=coefs_tree)
     synth, resynth = build_stylegan1_pipeline(gen, gm, gen_vars, gm_vars, lod=layer_count - 1)
     step = make_train_step(
-        encoder=enc,
-        enc_extra_vars={k: v for k, v in enc_vars.items() if k != "params"},
+        encode=make_encode_fn(enc, {k: v for k, v in enc_vars.items() if k != "params"}),
         synth=synth,
         resynth=resynth,
         optimizer=opt,

@@ -1,0 +1,248 @@
+"""Shared CLI plumbing: reference-compatible flags + model factory.
+
+Flag names and semantics follow the reference scripts exactly
+(E_align_cropping_s1.py:302-316): ``--mtype {1: StyleGANv1, 2: StyleGANv2,
+3: PGGAN, 4: BigGAN}``, ``--start_features {16->1024, 32->512, 64->256,
+128->128}``, ``--z_dim`` (512; BigGAN 128), ``--checkpoint_dir_GAN``
+pointing at the torch checkpoints (converted on the fly) — plus
+TPU-native extras (``--random_init`` for weight-free smoke runs,
+``--space_shards`` for spatial sharding, ``--bf16``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+from tpugan.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def add_common_args(parser: argparse.ArgumentParser, training: bool = True):
+    if training:
+        parser.add_argument("--iterations", type=int, default=210000)
+        parser.add_argument("--lr", type=float, default=0.0015)
+        parser.add_argument("--beta_1", type=float, default=0.0)
+        parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--experiment_dir", default=None)
+    parser.add_argument("--checkpoint_dir_GAN", default=None)
+    parser.add_argument("--config_dir", default=None)  # BigGAN config JSON
+    parser.add_argument("--checkpoint_dir_E", default=None)
+    parser.add_argument("--img_size", type=int, default=1024)
+    parser.add_argument("--img_channels", type=int, default=3)
+    parser.add_argument("--z_dim", type=int, default=512)
+    parser.add_argument("--mtype", type=int, default=2)
+    parser.add_argument("--start_features", type=int, default=16)
+    # TPU-native extras
+    parser.add_argument("--random_init", action="store_true",
+                        help="random weights instead of converted checkpoints")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--space_shards", type=int, default=1)
+    parser.add_argument("--lpips_weights", default=None,
+                        help="official lpips (vgg) state dict; random heads if absent")
+    parser.add_argument("--vgg_weights", default=None,
+                        help="torchvision vgg16 state dict (grad-cam path)")
+    return parser
+
+
+class GanBundle(NamedTuple):
+    """Frozen generator closures + encoder for one mtype."""
+
+    synth: Any  # (key, z) -> SynthBatch
+    resynth: Any  # (w, key) -> images
+    encoder: Any  # flax module
+    enc_vars: Any
+    z_dim: int
+    layer_count: int
+    num_style_layers: int
+
+
+def _layer_count(img_size: int) -> int:
+    return int(math.log2(img_size)) - 1
+
+
+def build_bundle(args) -> GanBundle:
+    """Construct the frozen G (+ mapping) and trainable E for args.mtype."""
+    mtype = args.mtype
+    layer_count = _layer_count(args.img_size)
+    key = jax.random.PRNGKey(args.seed)
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    if mtype == 1:
+        from tpugan.io import convert
+        from tpugan.models import Encoder, StyleGANv1Generator, StyleGANv1Mapping
+        from tpugan.train.e_align import build_stylegan1_pipeline
+
+        gen = StyleGANv1Generator(
+            startf=args.start_features, maxf=512, layer_count=layer_count, latent_size=512
+        )
+        gm = StyleGANv1Mapping(num_layers=2 * layer_count, mapping_layers=8)
+        with jax.default_device(cpu):
+            z0 = jnp.zeros((1, 512))
+            gm_vars = jax.jit(gm.init)(key, z0)
+            w0 = jnp.zeros((1, 2 * layer_count, 512))
+            gen_vars = jax.jit(gen.init)({"params": key, "noise": key}, w0)
+        center = None
+        if not args.random_init:
+            path = args.checkpoint_dir_GAN
+            gs_state = convert.load_torch_state_dict(os.path.join(path, "Gs_dict.pth"))
+            gm_state = convert.load_torch_state_dict(os.path.join(path, "Gm_dict.pth"))
+            gen_vars = {"params": jax.tree.map(jnp.asarray, convert.stylegan1_generator(gs_state, layer_count))}
+            gm_vars = {"params": jax.tree.map(jnp.asarray, convert.stylegan1_mapping(gm_state))}
+            center = jnp.asarray(convert.center_tensor(os.path.join(path, "center_tensor.pt")))
+        synth, resynth = build_stylegan1_pipeline(
+            gen, gm, gen_vars, gm_vars, lod=layer_count - 1, center=center
+        )
+        enc = Encoder(
+            startf=args.start_features, maxf=512, layer_count=layer_count, latent_size=512,
+            use_blur=getattr(args, "case", 1) == 2,
+        )
+        with jax.default_device(cpu):
+            img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
+            enc_vars = jax.jit(enc.init)({"params": key, "noise": key}, img0)
+        if args.checkpoint_dir_E:
+            from tpugan.io import convert as cv
+
+            e_state = cv.load_torch_state_dict(args.checkpoint_dir_E)
+            enc_vars = {**enc_vars, "params": jax.tree.map(jnp.asarray, cv.encoder(e_state, layer_count))}
+        return GanBundle(synth, resynth, enc, enc_vars, 512, layer_count, 2 * layer_count)
+
+    if mtype == 2:
+        from tpugan.io import convert
+        from tpugan.models import Encoder, StyleGAN2Generator
+        from tpugan.train.e_align import SynthBatch
+
+        gen = StyleGAN2Generator(resolution=args.img_size)
+        with jax.default_device(cpu):
+            z0 = jnp.zeros((1, 512))
+            variables = jax.jit(gen.init)({"params": key}, z0)
+        if not args.random_init:
+            state = convert.load_torch_state_dict(args.checkpoint_dir_GAN)
+            if "generator_smooth" in state and isinstance(state["generator_smooth"], dict):
+                state = state["generator_smooth"]
+            elif any(k.startswith("generator_smooth.") for k in state):
+                state = {
+                    k[len("generator_smooth."):]: v
+                    for k, v in state.items()
+                    if k.startswith("generator_smooth.")
+                }
+            converted = convert.stylegan2_generator(
+                {k: np.asarray(v) for k, v in state.items()}
+            )
+            variables = jax.tree.map(jnp.asarray, converted)
+
+        def synth(keyk, z):
+            out = gen.apply(variables, z, trunc_psi=0.7, trunc_layers=8)
+            const1 = jnp.repeat(
+                variables["params"]["synthesis"]["const"], z.shape[0], axis=0
+            )
+            return SynthBatch(w1=out["wp"], imgs1=out["image"], const1=const1)
+
+        def resynth(w, batch, keyk):
+            return gen.apply(variables, w, method=gen.synthesize)["image"]
+
+        enc = Encoder(
+            startf=args.start_features, maxf=512, layer_count=layer_count, latent_size=512,
+            use_blur=getattr(args, "case", 1) == 2,
+        )
+        with jax.default_device(cpu):
+            img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
+            enc_vars = jax.jit(enc.init)({"params": key, "noise": key}, img0)
+        return GanBundle(synth, resynth, enc, enc_vars, 512, layer_count, 2 * layer_count)
+
+    if mtype == 3:
+        from tpugan.io import convert
+        from tpugan.models import PGEncoder, PGGANGenerator
+        from tpugan.train.e_align import SynthBatch
+
+        gen = PGGANGenerator(resolution=args.img_size)
+        with jax.default_device(cpu):
+            z0 = jnp.zeros((1, 512))
+            variables = jax.jit(gen.init)(key, z0)
+        if not args.random_init:
+            state = convert.load_torch_state_dict(args.checkpoint_dir_GAN)
+            if any(k.startswith("generator_smooth.") for k in state):
+                state = {
+                    k[len("generator_smooth."):]: v
+                    for k, v in state.items()
+                    if k.startswith("generator_smooth.")
+                }
+            variables = {"params": jax.tree.map(jnp.asarray, convert.pggan_generator(state))}
+
+        def synth(keyk, z):
+            out = gen.apply(variables, z)
+            return SynthBatch(w1=z, imgs1=out["image"], const1=jnp.zeros((z.shape[0], 1)))
+
+        def resynth(z, batch, keyk):
+            return gen.apply(variables, z)["image"]
+
+        enc = PGEncoder(startf=args.start_features, maxf=512, layer_count=layer_count, latent_size=512)
+        with jax.default_device(cpu):
+            img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
+            enc_vars = jax.jit(enc.init)({"params": key, "noise": key}, img0)
+        return GanBundle(synth, resynth, enc, enc_vars, args.z_dim, layer_count, 2 * layer_count)
+
+    if mtype == 4:
+        from tpugan.io import convert
+        from tpugan.models import BigGAN, BigGANConfig, BigGANEncoder
+        from tpugan.train.e_align import SynthBatch
+        from tpugan.utils import one_hot, truncated_noise_sample
+
+        cfg = (
+            BigGANConfig.from_json_file(args.config_dir)
+            if args.config_dir
+            else BigGANConfig(output_dim=args.img_size, z_dim=args.z_dim)
+        )
+        model = BigGAN(cfg)
+        with jax.default_device(cpu):
+            z0 = jnp.zeros((1, cfg.z_dim))
+            l0 = jnp.zeros((1, cfg.num_classes))
+            variables = jax.jit(lambda z, l: model.init(key, z, l, 0.4))(z0, l0)
+        if not args.random_init:
+            state = convert.load_torch_state_dict(args.checkpoint_dir_GAN)
+            variables = jax.tree.map(jnp.asarray, convert.biggan(state))
+
+        truncation = 0.4
+
+        def synth(keyk, z):
+            # BigGAN path draws truncated z and a shared random class
+            # (E_align_cropping_s1.py:140-150)
+            kz, kl = jax.random.split(keyk)
+            zt = truncated_noise_sample(kz, z.shape[0], cfg.z_dim, truncation)
+            flag = jax.random.randint(kl, (), 0, cfg.num_classes)
+            label = one_hot(jnp.full((z.shape[0],), flag), cfg.num_classes)
+            imgs1, cond = model.apply(variables, zt, label, truncation)
+            return SynthBatch(w1=zt, imgs1=imgs1, const1=cond, label=label)
+
+        def resynth(w2, batch, keyk):
+            # regenerate with the same conditions (E_align_cropping_s1.py:162)
+            imgs2, _ = model.apply(variables, w2, batch.label, truncation)
+            return imgs2
+
+        enc = BigGANEncoder(startf=args.start_features, maxf=512, layer_count=layer_count)
+        with jax.default_device(cpu):
+            img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
+            c0 = jnp.zeros((1, 2 * cfg.z_dim))
+            enc_vars = jax.jit(lambda x, c: enc.init({"params": key, "noise": key}, x, c))(img0, c0)
+        return GanBundle(synth, resynth, enc, enc_vars, cfg.z_dim, layer_count, 2 * layer_count)
+
+    raise ValueError(f"unknown mtype {args.mtype}")
+
+
+def make_result_dirs(experiment_dir: Optional[str], default_name: str):
+    """Mirror the reference's result tree (E_align_cropping_s1.py:318-331)."""
+    base = experiment_dir or os.path.join("./result", default_name)
+    imgs = os.path.join(base, "imgs")
+    models = os.path.join(base, "models")
+    for d in (base, imgs, models):
+        os.makedirs(d, exist_ok=True)
+    return base, imgs, models

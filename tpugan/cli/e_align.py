@@ -1,0 +1,110 @@
+"""Aligned encoder training CLI (E_align_cropping_s1.py / E_align_s2.py).
+
+``python -m tpugan.cli.e_align --mtype 1 --img_size 256 --start_features 64
+[--case 2] ...`` — case 1 is the detached-image-loss script, case 2 the
+E_Blur variant with image gradients.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from tpugan.cli.common import add_common_args, build_bundle, make_result_dirs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="the training args")
+    add_common_args(parser, training=True)
+    parser.add_argument("--case", type=int, default=1, choices=(1, 2))
+    parser.add_argument("--log_every", type=int, default=100)
+    parser.add_argument("--checkpoint_every", type=int, default=5000)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpugan.io.checkpoint import save_checkpoint
+    from tpugan.io.image import save_image_grid, to_unit
+    from tpugan.losses.lpips import make_lpips_fn, random_params
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.parallel import make_mesh
+    from tpugan.train import make_encode_fn, make_train_step
+    from tpugan.train.e_align import init_train_state
+
+    bundle = build_bundle(args)
+    enc_extra = {k: v for k, v in bundle.enc_vars.items() if k != "params"}
+    coefs = lreq_coef_tree(bundle.enc_vars["params"], bundle.enc_vars.get("lreq", {}))
+    opt = lreq_adam(args.lr, coefs=coefs)
+
+    lpips_fn = None
+    if args.lpips_weights:
+        from tpugan.io import convert
+        from tpugan.losses.lpips import LPIPS
+
+        state = convert.load_torch_state_dict(args.lpips_weights)
+        params = {"params": jax.tree.map(jnp.asarray, convert.lpips_vgg(state))}
+        lpips_fn = make_lpips_fn(params)
+
+    mesh = make_mesh(space=args.space_shards) if len(jax.devices()) > 1 else None
+    step = make_train_step(
+        encode=make_encode_fn(bundle.encoder, enc_extra),
+        synth=bundle.synth,
+        resynth=bundle.resynth,
+        optimizer=opt,
+        z_dim=bundle.z_dim,
+        batch_size=args.batch_size,
+        case=args.case,
+        lpips_fn=lpips_fn,
+        mesh=mesh,
+        spatial=args.space_shards > 1,
+    )
+    jitted = jax.jit(step)
+
+    name = f"mtype{args.mtype}-{args.img_size}-case{args.case}"
+    base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
+    state = init_train_state(bundle.enc_vars["params"], opt)
+
+    loss_log = open(os.path.join(base, "Loss.txt"), "a")
+    for iteration in range(args.iterations):
+        state, info = jitted(state, jnp.int32(iteration))
+        if iteration % args.log_every == 0:
+            rec = {
+                "iteration": iteration,
+                "epoch": iteration // 30000,
+                "loss_tsa": float(info.loss_tsa),
+                "loss_mtv": float(info.loss_mtv),
+                "loss_imgs_mse": float(info.loss_imgs.mse),
+                "loss_w_mse": float(info.loss_w.mse),
+                "loss_w_cosine": float(info.loss_w.cosine),
+                "loss_c_mse": float(info.loss_c.mse),
+            }
+            print(json.dumps(rec), flush=True)
+            loss_log.write(json.dumps(rec) + "\n")
+            loss_log.flush()
+            # reconstruction grid like the reference (:282-285)
+            from tpugan.utils import iteration_key
+
+            key = iteration_key(iteration)
+            kz, kg1, ke, kg2 = jax.random.split(key, 4)
+            z = jax.random.normal(kz, (args.batch_size, bundle.z_dim))
+            batch = bundle.synth(kg1, z)
+            _, w2 = make_encode_fn(bundle.encoder, enc_extra)(state.params, batch, ke)
+            imgs2 = bundle.resynth(w2, batch, kg2)
+            import numpy as np
+
+            grid = np.concatenate([to_unit(batch.imgs1), to_unit(imgs2)], axis=0)
+            save_image_grid(
+                os.path.join(imgs_dir, f"ep{iteration // 30000}_iter{iteration % 30000}.jpg"),
+                np.clip(grid, 0, 1),
+                nrow=args.batch_size,
+            )
+        if iteration % args.checkpoint_every == 0 and iteration > 0:
+            save_checkpoint(models_dir, state, iteration)
+    loss_log.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Mis-aligned (Grad-CAM) encoder training CLI (E_mis_align_cropping_s1.py).
+
+``python -m tpugan.cli.e_mis_align --mtype 1 --img_size 256
+--start_features 64 --vgg_weights vgg16.pth ...`` — random VGG weights are
+used when none are supplied (smoke runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from tpugan.cli.common import add_common_args, build_bundle, make_result_dirs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="the training args")
+    add_common_args(parser, training=True)
+    parser.add_argument("--log_every", type=int, default=100)
+    parser.add_argument("--checkpoint_every", type=int, default=5000)
+    args = parser.parse_args(argv)
+    # reference default batch for the mis-align script is 5 (:307-310)
+    if args.batch_size == 2:
+        args.batch_size = 5
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpugan.io.checkpoint import save_checkpoint
+    from tpugan.losses.vgg import VGG16
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.train import make_encode_fn, make_mis_align_step
+    from tpugan.train.e_align import init_train_state
+
+    bundle = build_bundle(args)
+    enc_extra = {k: v for k, v in bundle.enc_vars.items() if k != "params"}
+    coefs = lreq_coef_tree(bundle.enc_vars["params"], bundle.enc_vars.get("lreq", {}))
+    opt = lreq_adam(args.lr, coefs=coefs)
+
+    vgg = VGG16()
+    if args.vgg_weights:
+        from tpugan.io import convert
+
+        state_dict = convert.load_torch_state_dict(args.vgg_weights)
+        vgg_vars = {"params": jax.tree.map(jnp.asarray, convert.vgg16(state_dict))}
+    else:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            vgg_vars = jax.jit(vgg.init)(
+                jax.random.PRNGKey(7), jnp.zeros((1, args.img_size, args.img_size, 3))
+            )
+
+    step = make_mis_align_step(
+        encode=make_encode_fn(bundle.encoder, enc_extra),
+        synth=bundle.synth,
+        resynth=bundle.resynth,
+        optimizer=opt,
+        vgg=vgg,
+        vgg_vars=vgg_vars,
+        z_dim=bundle.z_dim,
+        batch_size=args.batch_size,
+    )
+    jitted = jax.jit(step)
+
+    name = f"mtype{args.mtype}-{args.img_size}-misalign"
+    base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
+    state = init_train_state(bundle.enc_vars["params"], opt)
+    loss_log = open(os.path.join(base, "Loss.txt"), "a")
+    for iteration in range(args.iterations):
+        state, info = jitted(state, jnp.int32(iteration))
+        if iteration % args.log_every == 0:
+            rec = {
+                "iteration": iteration,
+                "loss_tsa": float(info.loss_tsa),
+                "loss_mtv": float(info.loss_mtv),
+                "loss_mask_mse": float(info.loss_mask.mse),
+                "loss_gcam_mse": float(info.loss_gcam.mse),
+                "loss_w_mse": float(info.loss_w.mse),
+            }
+            print(json.dumps(rec), flush=True)
+            loss_log.write(json.dumps(rec) + "\n")
+            loss_log.flush()
+        if iteration % args.checkpoint_every == 0 and iteration > 0:
+            save_checkpoint(models_dir, state, iteration)
+    loss_log.close()
+
+
+if __name__ == "__main__":
+    main()

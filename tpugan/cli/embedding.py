@@ -1,0 +1,90 @@
+"""Real-image inversion CLI (embedding_img.py / embedding_v2_*).
+
+``python -m tpugan.cli.embedding --mtype 1 --img_dir ./faces
+--checkpoint_dir_GAN ... --checkpoint_dir_E ... [--optimizeE true]
+[--beta 0.0002 --norm_p 2]`` — saves per-image w codes (.npy) and
+reconstructions, plus the stacked w_all/img_all arrays like the reference
+(embedding_img.py:163-170).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from tpugan.cli.common import add_common_args, build_bundle, make_result_dirs
+
+
+def str2bool(v) -> bool:
+    return str(v).lower() in ("1", "true", "yes")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="the training args")
+    add_common_args(parser, training=True)
+    parser.add_argument("--img_dir", default="./checkpoint/realimg_file/")
+    parser.add_argument("--optimizeE", type=str2bool, default=True)
+    parser.add_argument("--beta", type=float, default=0.0)
+    parser.add_argument("--norm_p", type=float, default=2.0)
+    parser.set_defaults(iterations=1500, lr=0.01, batch_size=1)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpugan.invert import EmbeddingConfig, make_embedder
+    from tpugan.io.image import from_unit, load_image_dir, save_image, to_unit
+    from tpugan.ops.eq_lr import lreq_coef_tree
+
+    bundle = build_bundle(args)
+    enc_extra = {k: v for k, v in bundle.enc_vars.items() if k != "params"}
+    coefs = lreq_coef_tree(bundle.enc_vars["params"], bundle.enc_vars.get("lreq", {}))
+
+    def encode(params, imgs):
+        return bundle.encoder.apply(
+            {**enc_extra, "params": params}, imgs,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+
+    def resynth(w):
+        return bundle.resynth(w, None, jax.random.PRNGKey(0))
+
+    cfg = EmbeddingConfig(
+        iterations=args.iterations,
+        lr=args.lr,
+        optimize_e=args.optimizeE,
+        beta=args.beta,
+        norm_p=args.norm_p,
+    )
+    invert = make_embedder(
+        encode, resynth, bundle.enc_vars["params"], coefs, cfg
+    )
+
+    images = load_image_dir(args.img_dir, args.img_size)
+    images = from_unit(images)
+
+    base, imgs_dir, models_dir = make_result_dirs(
+        args.experiment_dir, f"mtype{args.mtype}-embedding"
+    )
+    w_all, img_all = [], []
+    bs = args.batch_size
+    for g in range(len(images) // bs):
+        batch = jnp.asarray(images[g * bs : (g + 1) * bs])
+        result = invert(batch)
+        for i in range(bs):
+            np.save(os.path.join(models_dir, f"id{g}-i{i}-w.npy"), np.asarray(result.w[i]))
+            save_image(
+                os.path.join(imgs_dir, f"{str(g).rjust(5, '0')}_rec.png"),
+                np.clip(to_unit(result.images[i]), 0, 1),
+            )
+        w_all.append(np.asarray(result.w[0]))
+        img_all.append(np.asarray(result.images[0]))
+        print(f"image group {g}: final losses {jax.tree.map(float, result.losses[-1])}")
+    np.save(os.path.join(models_dir, "w_all.npy"), np.stack(w_all))
+    np.save(os.path.join(models_dir, "img_all.npy"), np.stack(img_all))
+
+
+if __name__ == "__main__":
+    main()

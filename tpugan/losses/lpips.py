@@ -1,0 +1,73 @@
+"""LPIPS perceptual distance (VGG flavour) — flax/NHWC.
+
+The reference uses the external ``lpips`` pip package with net='vgg'
+(E_align_cropping_s1.py:98). This is a native implementation of the same
+computation: scale inputs with the published shift/scale constants,
+run the VGG16 backbone, unit-normalize each feature map over channels,
+square the difference, 1x1-conv linear heads, spatial mean, sum over the
+five layers. Weights convert via ``tpugan.io.convert.lpips_vgg``;
+``random_params`` gives an architecture-correct (untrained) fallback for
+tests and smoke runs.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpugan.losses.vgg import LPIPS_FEATURES, VGG16
+
+# published scaling-layer constants (lpips/lpips.py ScalingLayer)
+_SHIFT = (-0.030, -0.088, -0.188)
+_SCALE = (0.458, 0.448, 0.450)
+
+_LIN_CHANNELS = (64, 128, 256, 512, 512)
+
+
+def _normalize_tensor(x, eps=1e-10):
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+class LPIPS(nn.Module):
+    """lpips.LPIPS(net='vgg', spatial=False) equivalent.
+
+    __call__(a, b): NHWC images in [-1, 1] -> per-sample distance [N].
+    """
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        backbone = VGG16(include_classifier=False, name="backbone")
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+
+        def feats(x):
+            x = (x - shift) / scale
+            _, fs = backbone(x)
+            return [fs[i] for i in LPIPS_FEATURES]
+
+        fa, fb = feats(a), feats(b)
+        total = 0.0
+        for j, (xa, xb) in enumerate(zip(fa, fb)):
+            diff = jnp.square(_normalize_tensor(xa) - _normalize_tensor(xb))
+            head = nn.Conv(1, (1, 1), use_bias=False, name=f"lin_{j}")
+            total = total + jnp.mean(head(diff), axis=(1, 2, 3))
+        return total
+
+
+def random_params(key, image_size: int = 64):
+    """Architecture-correct random LPIPS params (tests / no-weights runs)."""
+    model = LPIPS()
+    dummy = jnp.zeros((1, image_size, image_size, 3))
+    return model.init(key, dummy, dummy)
+
+
+def make_lpips_fn(params):
+    """Closure suitable for ``space_loss(..., lpips_fn=...)``."""
+    model = LPIPS()
+
+    def fn(a, b):
+        return model.apply(params, a, b)
+
+    return fn

@@ -91,18 +91,34 @@ class DecodeBlock(nn.Module):
     layer_index: int = 0
 
     @nn.compact
-    def __call__(self, x, s1, s2, noise: Optional[Sequence[jax.Array]] = None):
+    def __call__(
+        self,
+        x,
+        s1,
+        s2,
+        noise: Optional[Sequence[jax.Array]] = None,
+        x_pair: Optional[jax.Array] = None,
+    ):
+        """Standard forward, or the paired ``forward_double`` used by blob
+        removal (net.py:171-231) when ``x_pair`` is given: both streams
+        share the same noise and are normalised with the *main* stream's
+        (unbiased) spatial statistics."""
         c = self.features
+        double = x_pair is not None
+
         if self.has_first_conv:
             if self.fused_scale:
-                x = EqConv(
+                conv1 = EqConv(
                     c, 3, stride=2, padding=1, use_bias=False,
                     transpose=True, transform_kernel=True, name="conv_1",
-                )(x)
+                )
+                first_conv = conv1
             else:
-                x = upscale2d(x)
-                x = EqConv(c, 3, padding=1, use_bias=False, name="conv_1")(x)
-            x = blur3x3(x)
+                conv1 = EqConv(c, 3, padding=1, use_bias=False, name="conv_1")
+                first_conv = lambda y: conv1(upscale2d(y))
+            x = blur3x3(first_conv(x))
+            if double:
+                x_pair = blur3x3(first_conv(x_pair))
 
         nw1 = self.param("noise_weight_1", nn.initializers.zeros, (c,))
         nw2 = self.param("noise_weight_2", nn.initializers.zeros, (c,))
@@ -114,17 +130,49 @@ class DecodeBlock(nn.Module):
         key1 = key2 = None
         if noise is None and self.has_rng("noise"):
             key1, key2 = jax.random.split(self.make_rng("noise"))
+        if double and n1 is None:
+            # shared noise between the streams (net.py:182-187)
+            n, h, w = x.shape[0], x.shape[1], x.shape[2]
+            n1 = jax.random.normal(key1, (n, h, w, 1)) if key1 is not None else None
+            n2 = jax.random.normal(key2, (n, h, w, 1)) if key2 is not None else None
+            key1 = key2 = None
 
-        x = noise_inject(x, nw1, key1, n1)
-        x = leaky_relu(x + b1, 0.2)
-        x = instance_norm(x)
-        x = style_mod(x, EqLinear(2 * c, gain=1.0, name="style_1")(s1))
+        def shared_norm(main, pair):
+            """Normalise both streams by the *main* stream's per-channel
+            spatial mean and *unbiased* std (torch .std default,
+            net.py:196-199)."""
+            mean = jnp.mean(main, axis=(1, 2), keepdims=True)
+            nhw = main.shape[1] * main.shape[2]
+            var = jnp.sum(jnp.square(main - mean), axis=(1, 2), keepdims=True) / max(nhw - 1, 1)
+            std = jnp.sqrt(var)
+            return (main - mean) / std, (pair - mean) / std
 
-        x = EqConv(c, 3, padding=1, use_bias=False, name="conv_2")(x)
-        x = noise_inject(x, nw2, key2, n2)
-        x = leaky_relu(x + b2, 0.2)
-        x = instance_norm(x)
-        x = style_mod(x, EqLinear(2 * c, gain=1.0, name="style_2")(s2))
+        style1 = EqLinear(2 * c, gain=1.0, name="style_1")(s1)
+        x = leaky_relu(noise_inject(x, nw1, key1, n1) + b1, 0.2)
+        if double:
+            x_pair = leaky_relu(noise_inject(x_pair, nw1, None, n1) + b1, 0.2)
+            x, x_pair = shared_norm(x, x_pair)
+        else:
+            x = instance_norm(x)
+        x = style_mod(x, style1)
+        if double:
+            x_pair = style_mod(x_pair, style1)
+
+        conv2 = EqConv(c, 3, padding=1, use_bias=False, name="conv_2")
+        style2 = EqLinear(2 * c, gain=1.0, name="style_2")(s2)
+        x = conv2(x)
+        if double:
+            x_pair = conv2(x_pair)
+        x = leaky_relu(noise_inject(x, nw2, key2, n2) + b2, 0.2)
+        if double:
+            x_pair = leaky_relu(noise_inject(x_pair, nw2, None, n2) + b2, 0.2)
+            x, x_pair = shared_norm(x, x_pair)
+        else:
+            x = instance_norm(x)
+        x = style_mod(x, style2)
+        if double:
+            x_pair = style_mod(x_pair, style2)
+            return x, x_pair
         return x
 
 
@@ -202,6 +250,35 @@ class StyleGANv1Generator(nn.Module):
             x = self.decode_block[i](x, styles[:, 2 * i], styles[:, 2 * i + 1], ni)
         return self.to_rgb[lod](x)
 
+    def decode3(self, styles, lod, noise=None, remove_blob=True, blob_threshold=300.0):
+        """Blob-removal decode (net.py:303-329): clone the stream after
+        block 3, zero activations above the threshold in the clone, and run
+        the remaining blocks as shared-statistics pairs (forward_double).
+        At lod 8 the result goes through to_rgb; lower lods return the
+        reference's normalized channel-max heatmap."""
+        x = jnp.repeat(self.const, styles.shape[0], axis=0)
+        x_pair = None
+        for i in range(lod + 1):
+            ni = noise[i] if noise is not None else None
+            if i < 4 or not remove_blob:
+                x = self.decode_block[i](x, styles[:, 2 * i], styles[:, 2 * i + 1], ni)
+                if remove_blob and i == 3:
+                    x_pair = jnp.where(x > blob_threshold, 0.0, x)
+            else:
+                x, x_pair = self.decode_block[i](
+                    x, styles[:, 2 * i], styles[:, 2 * i + 1], ni, x_pair
+                )
+        if x_pair is not None:
+            x = x_pair
+        if lod == 8:
+            return self.to_rgb[lod](x)
+        # normalized channel-max grayscale preview (net.py:324-328)
+        x = jnp.max(x, axis=-1, keepdims=True)
+        x = x - jnp.min(x)
+        x = x / jnp.max(x)
+        x = jnp.power(x, 1.0 / 2.2)
+        return jnp.tile(x, (1, 1, 1, 3))
+
     def decode2(self, styles, lod, blend, noise=None):
         x = jnp.repeat(self.const, styles.shape[0], axis=0)
         for i in range(lod):
@@ -213,6 +290,64 @@ class StyleGANv1Generator(nn.Module):
         x = self.to_rgb[lod](x)
         x_prev = upscale2d(x_prev)
         return x_prev + (x - x_prev) * blend
+
+
+class StyleGANv1Mapping2(nn.Module):
+    """Mapping2 (net.py:469-497): pyramid map to/from the full w+ stack.
+
+    ``inverse=False``: z [N, latent] -> w+ [N, num_layers, latent] with the
+    last block expanding to num_layers*latent; ``inverse=True``: w+ -> z.
+    """
+
+    num_layers: int = 18
+    mapping_layers: int = 8
+    latent_size: int = 512
+    inverse: bool = False
+
+    @nn.compact
+    def __call__(self, z, coefs=None):
+        x = pixel_norm(z, axis=-1)
+        if not self.inverse:
+            for i in range(1, self.mapping_layers):
+                x = MappingBlock(self.latent_size, name=f"block_{i}")(x)
+            x = MappingBlock(self.num_layers * self.latent_size, name=f"block_{self.mapping_layers}")(x)
+            return x.reshape(-1, self.num_layers, self.latent_size)
+        x = x.reshape(-1, self.num_layers * self.latent_size)
+        x = MappingBlock(self.latent_size, name=f"block_{self.mapping_layers}")(x)
+        for i in range(self.mapping_layers - 1, 0, -1):
+            x = MappingBlock(self.latent_size, name=f"block_{i}")(x)
+        return x
+
+
+class StyleGANv1Mapping3(nn.Module):
+    """Mapping3 (net.py:500-528): widening pyramid 512 -> 512*18."""
+
+    num_layers: int = 18
+    latent_size: int = 512
+
+    @nn.compact
+    def __call__(self, z, coefs=None):
+        x = pixel_norm(z, axis=-1)
+        widths = [2, 4, 6, 8, 10, 12, 14, self.num_layers]
+        for i, mul in enumerate(widths):
+            x = MappingBlock(self.latent_size * mul, name=f"block_{i + 1}")(x)
+        return x.reshape(-1, self.num_layers, self.latent_size)
+
+
+class StyleGANv1Mapping4(nn.Module):
+    """Mapping4 (net.py:530-558): narrowing pyramid 512*18 -> 512."""
+
+    num_layers: int = 18
+    latent_size: int = 512
+
+    @nn.compact
+    def __call__(self, w, coefs=None):
+        x = pixel_norm(w, axis=-1)
+        x = x.reshape(-1, self.num_layers * self.latent_size)
+        widths = [14, 12, 10, 8, 6, 4, 2, 1]
+        for i, mul in enumerate(widths):
+            x = MappingBlock(self.latent_size * mul, name=f"block_{i + 1}")(x)
+        return x
 
 
 class DiscriminatorBlock(nn.Module):

@@ -48,11 +48,13 @@ class EqLinear(nn.Module):
             nn.initializers.normal(stddev=std / self.lrmul),
             (in_features, self.features),
         )
-        self.variable("lreq", "kernel_coef", lambda: jnp.float32(std))
+        if self.is_initializing():
+            self.variable("lreq", "kernel_coef", lambda: jnp.float32(std))
         y = x @ kernel
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            self.variable("lreq", "bias_coef", lambda: jnp.float32(self.lrmul))
+            if self.is_initializing():
+                self.variable("lreq", "bias_coef", lambda: jnp.float32(self.lrmul))
             y = y + bias
         return y
 
@@ -91,7 +93,8 @@ class EqConv(nn.Module):
             nn.initializers.normal(stddev=std / self.lrmul),
             (kh, kw, in_features // self.groups, self.features),
         )
-        self.variable("lreq", "kernel_coef", lambda: jnp.float32(std))
+        if self.is_initializing():
+            self.variable("lreq", "kernel_coef", lambda: jnp.float32(std))
 
         w = kernel
         if self.transform_kernel:
@@ -122,6 +125,7 @@ class EqConv(nn.Module):
             )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            self.variable("lreq", "bias_coef", lambda: jnp.float32(self.lrmul))
+            if self.is_initializing():
+                self.variable("lreq", "bias_coef", lambda: jnp.float32(self.lrmul))
             y = y + bias
         return y

@@ -42,11 +42,13 @@ class EncoderTrainState(struct.PyTreeNode):
 
 
 class SynthBatch(NamedTuple):
-    """A frozen-generator sample: latents, target images, generator const."""
+    """A frozen-generator sample: latents, target images, generator const
+    (BigGAN: conditional vector), optional class label."""
 
     w1: jax.Array
     imgs1: jax.Array
     const1: jax.Array
+    label: Any = None
 
 
 class StepInfo(NamedTuple):
@@ -96,17 +98,36 @@ def build_stylegan1_pipeline(
         const1 = jnp.repeat(gen_vars["params"]["const"], z.shape[0], axis=0)
         return SynthBatch(w1=w1, imgs1=imgs1, const1=const1)
 
-    def resynth(w2: jax.Array, key: jax.Array) -> jax.Array:
+    def resynth(w2: jax.Array, batch: SynthBatch, key: jax.Array) -> jax.Array:
         return gen.apply(gen_vars, w2, lod, rngs={"noise": key})
 
     return synth, resynth
 
 
+def make_encode_fn(encoder, enc_extra_vars):
+    """Standard encode closure: (params, batch, key) -> (const2, w2).
+
+    Conditional encoders (E_BIG) take the condition vector as const1
+    (E_align_cropping_s1.py:155)."""
+    from tpugan.models.encoders import BigGANEncoder
+
+    conditional = isinstance(encoder, BigGANEncoder)
+
+    def encode(params, batch: SynthBatch, key):
+        variables = {**enc_extra_vars, "params": params}
+        if conditional:
+            return encoder.apply(
+                variables, batch.imgs1, batch.const1, rngs={"noise": key}
+            )
+        return encoder.apply(variables, batch.imgs1, rngs={"noise": key})
+
+    return encode
+
+
 def make_train_step(
-    encoder: Encoder,
-    enc_extra_vars: Any,
+    encode: Callable[[Any, SynthBatch, jax.Array], tuple],
     synth: Callable[[jax.Array, jax.Array], SynthBatch],
-    resynth: Callable[[jax.Array, jax.Array], jax.Array],
+    resynth: Callable[[jax.Array, "SynthBatch", jax.Array], jax.Array],
     optimizer: optax.GradientTransformation,
     z_dim: int,
     batch_size: int,
@@ -138,7 +159,7 @@ def make_train_step(
 
         def constrain(z, batch):
             z = jax.lax.with_sharding_constraint(z, batch_sh)
-            batch = SynthBatch(
+            batch = batch._replace(
                 w1=jax.lax.with_sharding_constraint(batch.w1, batch_sh),
                 imgs1=jax.lax.with_sharding_constraint(batch.imgs1, img_sh),
                 const1=jax.lax.with_sharding_constraint(batch.const1, batch_sh),
@@ -149,10 +170,8 @@ def make_train_step(
             return z, batch
 
     def losses(params, batch: SynthBatch, key_enc, key_resynth):
-        const2, w2 = encoder.apply(
-            {**enc_extra_vars, "params": params}, batch.imgs1, rngs={"noise": key_enc}
-        )
-        imgs2 = resynth(w2, key_resynth)
+        const2, w2 = encode(params, batch, key_enc)
+        imgs2 = resynth(w2, batch, key_resynth)
 
         if case == 1:
             # reference detaches both sides of every image-space loss
@@ -174,9 +193,15 @@ def make_train_step(
             loss_tsa = l_imgs + 5.0 * l_med + 9.0 * l_small  # E_align_s2.py:205
 
         l_w, i_w = space_loss(batch.w1, w2, image_space=False)
-        l_c, i_c = space_loss(
-            jax.lax.stop_gradient(batch.const1), const2, image_space=False
-        )
+        const1 = jax.lax.stop_gradient(batch.const1)
+        if const1.shape != const2.shape:
+            # PGGAN passes const1 = 0 (E_align_cropping_s1.py:75); torch
+            # broadcasts the scalar in MSELoss — match by broadcasting
+            const1 = jnp.broadcast_to(
+                const1.reshape((const1.shape[0],) + (1,) * (const2.ndim - 1)),
+                const2.shape,
+            )
+        l_c, i_c = space_loss(const1, const2, image_space=False)
         loss_mtv = 0.01 * l_w  # loss_c excluded in both scripts (:216)
 
         info = StepInfo(

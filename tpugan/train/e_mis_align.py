@@ -1,0 +1,100 @@
+"""Mis-aligned encoder training with Grad-CAM++ attention supervision.
+
+Rebuild of E_mis_align_cropping_s1.py:28-343. Instead of center crops, the
+attention regions come from a pre-trained VGG16: Grad-CAM++ masks (AT1
+analog) and CAM overlays (AT2 analog), with guided-backprop gradients
+logged. The reference runs 4 extra VGG16 passes plus numpy/cv2 hops per
+iteration (SURVEY.md §3.2 — the worst host/device churn in the codebase);
+here the CAM pipeline is in-graph so the whole iteration is one jitted
+step: ``loss_tsa = imgs + mask + Gcam`` (:191) then ``0.01 * loss_w``.
+
+As in the case-1 aligned script, the reference detaches all image-space
+tensors before space_loss (masks and CAMs are numpy-made, so they carry no
+gradient by construction; imgs1/imgs2 are detached clones :172-194) —
+reproduced with stop_gradient, so the effective update again comes from
+the latent loss while the attention losses are logged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpugan.losses.gradcam import grad_cam, mask2cam
+from tpugan.losses.space_loss import SpaceLossInfo, space_loss
+from tpugan.train.e_align import EncoderTrainState, SynthBatch
+from tpugan.utils import iteration_key
+
+
+class MisAlignInfo(NamedTuple):
+    loss_imgs: SpaceLossInfo
+    loss_mask: SpaceLossInfo
+    loss_gcam: SpaceLossInfo
+    loss_w: SpaceLossInfo
+    loss_c: SpaceLossInfo
+    loss_tsa: jax.Array
+    loss_mtv: jax.Array
+
+
+def make_mis_align_step(
+    encode: Callable[[Any, SynthBatch, jax.Array], tuple],
+    synth: Callable[[jax.Array, jax.Array], SynthBatch],
+    resynth: Callable[[jax.Array, SynthBatch, jax.Array], jax.Array],
+    optimizer: optax.GradientTransformation,
+    vgg,
+    vgg_vars: Any,
+    z_dim: int,
+    batch_size: int,
+    lpips_fn=None,
+    seed_salt: int = 0,
+):
+    """Jitted per-iteration step for the Grad-CAM training case."""
+
+    def attention(images):
+        mask = grad_cam(vgg, vgg_vars, images, plus_plus=True)  # [N,H,W,1]
+        _, cam = mask2cam(mask, images)
+        return mask, cam
+
+    def step(state: EncoderTrainState, iteration):
+        key = iteration_key(iteration, salt=seed_salt)
+        kz, kg1, ke, kg2 = jax.random.split(key, 4)
+        z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
+        batch = jax.lax.stop_gradient(synth(kg1, z))
+
+        def losses(params):
+            const2, w2 = encode(params, batch, ke)
+            imgs2 = resynth(w2, batch, kg2)
+            i1 = jax.lax.stop_gradient(batch.imgs1)
+            i2 = jax.lax.stop_gradient(imgs2)
+            mask1, cam1 = attention(i1)
+            mask2, cam2 = attention(i2)
+
+            l_imgs, i_imgs = space_loss(i1, i2, lpips_fn=lpips_fn)
+            # masks are single-channel: tile to 3 for SSIM/LPIPS parity with
+            # the reference's [n,1,h,w] tensors fed through space_loss
+            m1 = jnp.tile(mask1, (1, 1, 1, 3))
+            m2 = jnp.tile(mask2, (1, 1, 1, 3))
+            l_mask, i_mask = space_loss(m1, m2, lpips_fn=lpips_fn)
+            l_gcam, i_gcam = space_loss(cam1, cam2, lpips_fn=lpips_fn)
+            loss_tsa = l_imgs + l_mask + l_gcam  # :191
+
+            l_w, i_w = space_loss(batch.w1, w2, image_space=False)
+            l_c, i_c = space_loss(
+                jax.lax.stop_gradient(batch.const1), const2, image_space=False
+            )
+            loss_mtv = 0.01 * l_w
+            info = MisAlignInfo(
+                loss_imgs=i_imgs, loss_mask=i_mask, loss_gcam=i_gcam,
+                loss_w=i_w, loss_c=i_c, loss_tsa=loss_tsa, loss_mtv=loss_mtv,
+            )
+            return loss_mtv, info
+
+        (_, info), grads = jax.value_and_grad(losses, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state, step=state.step + 1), info
+
+    return step
