@@ -93,13 +93,13 @@ class SelfAttn(nn.Module):
         theta = conv1x1(ch // 8, "snconv1x1_theta")(x).reshape(n, h * w, ch // 8)
         phi = conv1x1(ch // 8, "snconv1x1_phi")(x)
         phi = nn.max_pool(phi, (2, 2), strides=(2, 2)).reshape(n, h * w // 4, ch // 8)
-        attn = jax.nn.softmax(
-            jnp.einsum("nqc,nkc->nqk", theta, phi, preferred_element_type=jnp.float32),
-            axis=-1,
-        )
         g = conv1x1(ch // 2, "snconv1x1_g")(x)
         g = nn.max_pool(g, (2, 2), strides=(2, 2)).reshape(n, h * w // 4, ch // 2)
-        attn_g = jnp.einsum("nqk,nkc->nqc", attn, g, preferred_element_type=jnp.float32)
+        # blockwise attention: the (h*w) x (h*w/4) score matrix never
+        # materialises in HBM (tpugan.ops.attention, Pallas on TPU)
+        from tpugan.ops.attention import sagan_attention
+
+        attn_g = sagan_attention(theta, phi, g)
         attn_g = attn_g.reshape(n, h, w, ch // 2)
         attn_g = conv1x1(ch, "snconv1x1_o_conv")(attn_g)
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
