@@ -114,3 +114,29 @@ def test_synthesize_cli(tmp_path):
     )
     files = os.listdir(os.path.join(exp, "imgs"))
     assert "seed30000.png" in files and "seed30001.png" in files
+
+
+def test_e_align_cli_ablation_z(tmp_path):
+    """Ablation step 1: z-only encoder with Gm re-mapping."""
+    from tpugan.cli.e_align import main
+
+    exp = str(tmp_path / "exp_ab1")
+    main(
+        ["--mtype", "1", *TINY, "--ablation", "1", "--iterations", "2",
+         "--batch_size", "2", "--log_every", "1", "--experiment_dir", exp]
+    )
+    lines = open(os.path.join(exp, "Loss.txt")).read().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[-1])
+    assert np.isfinite(rec["loss_c_mse"])  # the z loss drives this ablation
+
+
+def test_e_align_cli_ablation_8(tmp_path):
+    from tpugan.cli.e_align import main
+
+    exp = str(tmp_path / "exp_ab8")
+    main(
+        ["--mtype", "1", *TINY, "--ablation", "8", "--iterations", "1",
+         "--batch_size", "2", "--log_every", "1", "--experiment_dir", exp]
+    )
+    assert os.path.exists(os.path.join(exp, "Loss.txt"))

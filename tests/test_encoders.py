@@ -117,3 +117,14 @@ def test_encoder_ablation_variants():
     v = enc.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
     const, w = enc.apply(v, x, rngs={"noise": jax.random.PRNGKey(2)})
     assert w is None and const.shape == (1, 4, 4, 16)
+
+
+def test_encoder_std_only_stats(rng):
+    """E_v2_std: inver_mod heads consume std only (half-width input)."""
+    enc = Encoder(startf=4, maxf=16, layer_count=3, latent_size=8, style_stats="std")
+    x = jnp.asarray(rng.randn(1, 16, 16, 3).astype(np.float32))
+    v = enc.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
+    # first block: inputs=4 -> std-only stats give kernel [4, 8]
+    assert v["params"]["block_0"]["inver_mod1"]["kernel"].shape == (4, 8)
+    _, w = enc.apply(v, x, rngs={"noise": jax.random.PRNGKey(2)})
+    assert w.shape == (1, 6, 8)

@@ -45,6 +45,8 @@ def add_common_args(parser: argparse.ArgumentParser, training: bool = True):
     # TPU-native extras
     parser.add_argument("--random_init", action="store_true",
                         help="random weights instead of converted checkpoints")
+    parser.add_argument("--ablation", type=int, default=0, choices=range(0, 9),
+                        help="ablation ladder step (ablation_utils/1..8); 0 = off")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--space_shards", type=int, default=1)
     parser.add_argument("--lpips_weights", default=None,
@@ -58,12 +60,28 @@ class GanBundle(NamedTuple):
     """Frozen generator closures + encoder for one mtype."""
 
     synth: Any  # (key, z) -> SynthBatch
-    resynth: Any  # (w, key) -> images
+    resynth: Any  # (w, batch, key) -> images
     encoder: Any  # flax module
     enc_vars: Any
     z_dim: int
     layer_count: int
     num_style_layers: int
+    remap: Any = None  # z -> w+ (mtype 1 mapping; ablation-1 re-mapping)
+
+
+def _encoder_variant_kwargs(ablation: int, case: int) -> dict:
+    """Ablation-ladder encoder variants (model/E/Ablation_Study/*):
+    1 -> E_Blur_Z (z head only), 2 -> E_Blur_W_2 (single w, no noise),
+    3 -> E_Blur_W (no noise), 4+ -> E_Blur."""
+    if ablation == 1:
+        return dict(use_blur=True, style_mode="none", z_head=True)
+    if ablation == 2:
+        return dict(use_blur=True, style_mode="single", use_noise=False)
+    if ablation == 3:
+        return dict(use_blur=True, use_noise=False)
+    if ablation >= 4:
+        return dict(use_blur=True)
+    return dict(use_blur=case == 2)
 
 
 def _layer_count(img_size: int) -> int:
@@ -104,7 +122,7 @@ def build_bundle(args) -> GanBundle:
         )
         enc = Encoder(
             startf=args.start_features, maxf=512, layer_count=layer_count, latent_size=512,
-            use_blur=getattr(args, "case", 1) == 2,
+            **_encoder_variant_kwargs(getattr(args, "ablation", 0), getattr(args, "case", 1)),
         )
         with jax.default_device(cpu):
             img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
@@ -114,7 +132,11 @@ def build_bundle(args) -> GanBundle:
 
             e_state = cv.load_torch_state_dict(args.checkpoint_dir_E)
             enc_vars = {**enc_vars, "params": jax.tree.map(jnp.asarray, cv.encoder(e_state, layer_count))}
-        return GanBundle(synth, resynth, enc, enc_vars, 512, layer_count, 2 * layer_count)
+        from tpugan.models.stylegan1 import truncation_coefs
+
+        coefs = truncation_coefs(2 * layer_count)
+        remap = lambda z: gm.apply(gm_vars, z, coefs, center)
+        return GanBundle(synth, resynth, enc, enc_vars, 512, layer_count, 2 * layer_count, remap)
 
     if mtype == 2:
         from tpugan.io import convert

@@ -39,6 +39,36 @@ def main(argv=None):
     coefs = lreq_coef_tree(bundle.enc_vars["params"], bundle.enc_vars.get("lreq", {}))
     opt = lreq_adam(args.lr, coefs=coefs)
 
+    # ablation ladder presets (ablation_utils/1..8): loss weights and, for
+    # step 1, the z-only path with Gm re-mapping (1.E_align_z.py:62-67)
+    ab = args.ablation
+    image_weights = latent_weights = None
+    case = args.case
+    synth_fn = bundle.synth
+    encode_fn = None
+    if ab:
+        case = 2  # all ablation scripts backprop image losses
+        image_weights = {
+            1: (1.0, 0.0, 0.0), 2: (1.0, 0.0, 0.0), 3: (1.0, 0.0, 0.0),
+            4: (1.0, 0.0, 0.0), 5: (1.0, 0.0, 0.0), 6: (1.0, 0.0, 0.0),
+            7: (1.0, 0.1, 0.0), 8: (1.0, 0.1, 0.1),
+        }[ab]
+        latent_weights = {1: (0.0, 1.0), 2: (1.0, 0.0), 3: (1.0, 0.0),
+                          4: (1.0, 0.0), 5: (1.0, 1.0), 6: (1.0, 1.0),
+                          7: (1.0, 1.0), 8: (1.0, 1.0)}[ab]
+        if ab == 1:
+            assert args.mtype == 1, "ablation 1 (z re-mapping) is StyleGANv1-only"
+            base_synth = bundle.synth
+
+            def synth_fn(key, z):
+                return base_synth(key, z)._replace(const1=z)
+
+            def encode_fn(params, batch, key):
+                _, z2 = bundle.encoder.apply(
+                    {**enc_extra, "params": params}, batch.imgs1, rngs={"noise": key}
+                )
+                return z2, bundle.remap(z2)
+
     lpips_fn = None
     if args.lpips_weights:
         from tpugan.io import convert
@@ -49,21 +79,24 @@ def main(argv=None):
         lpips_fn = make_lpips_fn(params)
 
     mesh = make_mesh(space=args.space_shards) if len(jax.devices()) > 1 else None
+    encode_used = encode_fn or make_encode_fn(bundle.encoder, enc_extra)
     step = make_train_step(
-        encode=make_encode_fn(bundle.encoder, enc_extra),
-        synth=bundle.synth,
+        encode=encode_used,
+        synth=synth_fn,
         resynth=bundle.resynth,
         optimizer=opt,
         z_dim=bundle.z_dim,
         batch_size=args.batch_size,
-        case=args.case,
+        case=case,
         lpips_fn=lpips_fn,
         mesh=mesh,
         spatial=args.space_shards > 1,
+        image_weights=image_weights,
+        latent_weights=latent_weights,
     )
     jitted = jax.jit(step)
 
-    name = f"mtype{args.mtype}-{args.img_size}-case{args.case}"
+    name = f"mtype{args.mtype}-{args.img_size}-case{args.case}" + (f"-ab{ab}" if ab else "")
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
     state = init_train_state(bundle.enc_vars["params"], opt)
 
@@ -90,8 +123,8 @@ def main(argv=None):
             key = iteration_key(iteration)
             kz, kg1, ke, kg2 = jax.random.split(key, 4)
             z = jax.random.normal(kz, (args.batch_size, bundle.z_dim))
-            batch = bundle.synth(kg1, z)
-            _, w2 = make_encode_fn(bundle.encoder, enc_extra)(state.params, batch, ke)
+            batch = synth_fn(kg1, z)
+            _, w2 = encode_used(state.params, batch, ke)
             imgs2 = bundle.resynth(w2, batch, kg2)
             import numpy as np
 

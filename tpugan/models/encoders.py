@@ -51,6 +51,7 @@ class EncoderBlock(nn.Module):
     use_blur: bool = False
     use_noise: bool = True
     style_mode: str = "dual"  # dual | single | none
+    style_stats: str = "meanstd"  # meanstd | std (E_v2_std: std-only heads)
 
     @nn.compact
     def __call__(self, x, noise: Optional[Sequence[jax.Array]] = None):
@@ -58,10 +59,14 @@ class EncoderBlock(nn.Module):
         emit_styles = self.style_mode != "none"
         w1 = w2 = None
 
+        def stats(y):
+            mean, std = instance_moments(y)
+            if self.style_stats == "std":
+                return std  # E_v2_std.py:57 (std-only inver_mod input)
+            return jnp.concatenate([mean, std], axis=-1)
+
         if emit_styles:
-            mean1, std1 = instance_moments(x)
-            style1 = jnp.concatenate([mean1, std1], axis=-1)
-            w1 = EqLinear(self.latent_size, gain=1.0, name="inver_mod1")(style1)
+            w1 = EqLinear(self.latent_size, gain=1.0, name="inver_mod1")(stats(x))
 
         residual = x
         x = instance_norm(x)
@@ -78,9 +83,7 @@ class EncoderBlock(nn.Module):
         x = leaky_relu(x + b1, 0.2)
 
         if emit_styles and self.style_mode == "dual":
-            mean2, std2 = instance_moments(x)
-            style2 = jnp.concatenate([mean2, std2], axis=-1)
-            w2 = EqLinear(self.latent_size, gain=1.0, name="inver_mod2")(style2)
+            w2 = EqLinear(self.latent_size, gain=1.0, name="inver_mod2")(stats(x))
         elif emit_styles:
             w2 = w1
 
@@ -129,6 +132,8 @@ class Encoder(nn.Module):
     use_blur: bool = False
     use_noise: bool = True
     style_mode: str = "dual"  # dual | single | none
+    style_stats: str = "meanstd"  # std -> E_v2_std ablation encoder
+    z_head: bool = False  # E_Blur_Z: stride-2 conv head 4x4 -> z (out_z)
 
     @nn.compact
     def __call__(self, x, start_block: int = 0, noise=None):
@@ -151,6 +156,7 @@ class Encoder(nn.Module):
                 use_blur=self.use_blur,
                 use_noise=self.use_noise,
                 style_mode=self.style_mode,
+                style_stats=self.style_stats,
                 name=f"block_{i}",
             )
             if i >= start_block:
@@ -164,6 +170,11 @@ class Encoder(nn.Module):
             resolution //= 2
 
         if self.style_mode == "none":
+            if self.z_head:
+                # E_Blur_Z out_z: ln.Conv2d(512, 512, 3, 2) on the 4x4
+                # features -> [N, 1, 1, latent] -> [N, latent]
+                z = EqConv(self.latent_size, 3, stride=2, name="out_z")(x)
+                return x, z.reshape(z.shape[0], self.latent_size)
             return x, None
         w = jnp.concatenate(styles[::-1], axis=1)
         return x, w

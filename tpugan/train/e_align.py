@@ -136,6 +136,9 @@ def make_train_step(
     seed_salt: int = 0,
     mesh=None,
     spatial: bool = False,
+    image_weights=None,
+    latent_weights=None,
+    detach_image_losses=None,
 ):
     """Build the jitted per-iteration train step.
 
@@ -146,7 +149,18 @@ def make_train_step(
     With ``mesh``, sharding constraints pin the batch to the ``data`` axis
     and (``spatial=True``) the image height to the ``space`` axis; XLA
     inserts the gradient psum and conv halo exchanges.
+
+    The ablation ladder (ablation_utils/1..8, SURVEY.md §2.5) is exposed
+    through ``image_weights=(full, at1, at2)``, ``latent_weights=(w, c)``
+    (each scaled by 0.01 like the reference) and ``detach_image_losses``;
+    None picks the case defaults.
     """
+    if image_weights is None:
+        image_weights = (1.0, 1.0, 1.0) if case == 1 else (1.0, 5.0, 9.0)
+    if latent_weights is None:
+        latent_weights = (1.0, 0.0)  # loss_c excluded in both scripts (:216)
+    if detach_image_losses is None:
+        detach_image_losses = case == 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -173,7 +187,7 @@ def make_train_step(
         const2, w2 = encode(params, batch, key_enc)
         imgs2 = resynth(w2, batch, key_resynth)
 
-        if case == 1:
+        if detach_image_losses:
             # reference detaches both sides of every image-space loss
             # (E_align_cropping_s1.py:185-201): log-only, no gradient
             i1 = jax.lax.stop_gradient(batch.imgs1)
@@ -187,10 +201,8 @@ def make_train_step(
         l_med, i_med = space_loss(at1_1, at1_2, lpips_fn=lpips_fn)
         l_small, i_small = space_loss(at2_1, at2_2, lpips_fn=lpips_fn)
 
-        if case == 1:
-            loss_tsa = l_imgs + l_med + l_small  # :203 (equal weights)
-        else:
-            loss_tsa = l_imgs + 5.0 * l_med + 9.0 * l_small  # E_align_s2.py:205
+        wi, wm, ws = image_weights
+        loss_tsa = wi * l_imgs + wm * l_med + ws * l_small  # :203 / E_align_s2.py:205
 
         l_w, i_w = space_loss(batch.w1, w2, image_space=False)
         const1 = jax.lax.stop_gradient(batch.const1)
@@ -202,7 +214,8 @@ def make_train_step(
                 const2.shape,
             )
         l_c, i_c = space_loss(const1, const2, image_space=False)
-        loss_mtv = 0.01 * l_w  # loss_c excluded in both scripts (:216)
+        ww, wc = latent_weights
+        loss_mtv = 0.01 * (ww * l_w + wc * l_c)
 
         info = StepInfo(
             loss_imgs=i_imgs, loss_medium=i_med, loss_small=i_small,
