@@ -140,3 +140,31 @@ def test_e_align_cli_ablation_8(tmp_path):
          "--batch_size", "2", "--log_every", "1", "--experiment_dir", exp]
     )
     assert os.path.exists(os.path.join(exp, "Loss.txt"))
+
+
+def test_baseline_i2s_cli(tmp_path):
+    from tpugan.cli.baseline_i2s import main
+    from tpugan.io.image import save_image
+
+    img_dir = str(tmp_path / "real_i2s")
+    os.makedirs(img_dir)
+    save_image(os.path.join(img_dir, "0.png"), np.random.rand(16, 16, 3).astype(np.float32))
+    exp = str(tmp_path / "exp_i2s")
+    main(["--mtype", "1", *TINY, "--img_dir", img_dir, "--iterations", "100",
+          "--experiment_dir", exp])
+    assert os.path.exists(os.path.join(exp, "imgs", "00000_rec.png"))
+    w = np.load(os.path.join(exp, "models", "00000_w.npy"))
+    assert w.shape == (6, 512)
+
+
+def test_cached_path_local(tmp_path):
+    from tpugan.io.fetch import cached_path
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"abc")
+    assert cached_path(str(p)) == str(p)
+    try:
+        cached_path(str(tmp_path / "missing.bin"))
+        assert False
+    except FileNotFoundError:
+        pass
