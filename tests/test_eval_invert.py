@@ -117,3 +117,35 @@ def test_inversion_reduces_loss(optimize_e):
     l_last = float(result.losses[-1][0])
     assert np.isfinite(l_first) and np.isfinite(l_last)
     assert l_last < l_first  # image loss decreased over 20 iterations
+
+
+def test_inversion_gradcam_attention():
+    """embedding_v2_BigGAN-style inversion: grad-cam mask/overlay terms."""
+    from tpugan.invert import EmbeddingConfig, make_embedder
+    from tpugan.losses.vgg import VGG16
+    from tpugan.models import Encoder, StyleGANv1Generator
+    from tpugan.ops.eq_lr import lreq_coef_tree
+
+    layer_count, startf, latent = 3, 8, 32
+    gen = StyleGANv1Generator(startf=startf, maxf=32, layer_count=layer_count, latent_size=latent)
+    enc = Encoder(startf=startf, maxf=32, layer_count=layer_count, latent_size=latent)
+    key = jax.random.PRNGKey(0)
+    gen_vars = gen.init({"params": key, "noise": key}, jnp.zeros((1, 6, latent)))
+    enc_vars = enc.init({"params": key, "noise": key}, jnp.zeros((1, 16, 16, 3)))
+    enc_extra = {k: v for k, v in enc_vars.items() if k != "params"}
+    coefs = lreq_coef_tree(enc_vars["params"], enc_vars["lreq"])
+    vgg = VGG16(num_classes=10)
+    vgg_vars = vgg.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)))
+
+    def encode(params, imgs):
+        return enc.apply({**enc_extra, "params": params}, imgs, rngs={"noise": key})
+
+    def resynth(w):
+        return gen.apply(gen_vars, w, rngs={"noise": key})
+
+    cfg = EmbeddingConfig(iterations=10, chunk=5, lr=0.01, optimize_e=False, attention="gradcam")
+    invert = make_embedder(encode, resynth, enc_vars["params"], coefs, cfg, vgg=vgg, vgg_vars=vgg_vars)
+    target = gen.apply(gen_vars, jax.random.normal(jax.random.PRNGKey(5), (1, 6, latent)), rngs={"noise": key})
+    result = invert(target)
+    assert np.isfinite(float(result.losses[-1][0]))
+    assert float(result.losses[-1][0]) < float(result.losses[0][0])

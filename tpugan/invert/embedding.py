@@ -45,6 +45,9 @@ class EmbeddingConfig:
     crop_weight_medium: float = 0.125
     crop_weight_small: float = 0.125
     detach_crops: bool = True
+    # embedding_v2_BigGAN.py: grad-cam mask/overlay attention terms instead
+    # of center crops (loss_msiv = imgs + mask + Gcam, both detached :134-151)
+    attention: str = "crops"  # crops | gradcam
 
 
 class InversionResult(NamedTuple):
@@ -61,6 +64,8 @@ def make_embedder(
     cfg: EmbeddingConfig,
     lpips_fn=None,
     const1: Optional[jax.Array] = None,
+    vgg=None,
+    vgg_vars=None,
 ):
     """Build ``invert(imgs) -> InversionResult`` for one image batch.
 
@@ -80,14 +85,30 @@ def make_embedder(
         const3, w2 = encode(base_enc_params, imgs2)
 
         l_imgs, i_imgs = space_loss(imgs1, imgs2, lpips_fn=lpips_fn)
-        at1_1, at2_1 = attention_crops(imgs1)
-        at1_2, at2_2 = attention_crops(imgs2)
-        if cfg.detach_crops:
-            at1_1, at1_2 = jax.lax.stop_gradient((at1_1, at1_2))
-            at2_1, at2_2 = jax.lax.stop_gradient((at2_1, at2_2))
-        l_med, _ = space_loss(at1_1, at1_2, lpips_fn=lpips_fn)
-        l_small, _ = space_loss(at2_1, at2_2, lpips_fn=lpips_fn)
-        loss_msiv = l_imgs + cfg.crop_weight_medium * l_med + cfg.crop_weight_small * l_small
+        if cfg.attention == "gradcam":
+            from tpugan.losses.gradcam import grad_cam, mask2cam
+
+            m1 = grad_cam(vgg, vgg_vars, jax.lax.stop_gradient(imgs1), plus_plus=True)
+            m2 = grad_cam(vgg, vgg_vars, jax.lax.stop_gradient(imgs2), plus_plus=True)
+            _, cam1 = mask2cam(m1, jax.lax.stop_gradient(imgs1))
+            _, cam2 = mask2cam(m2, jax.lax.stop_gradient(imgs2))
+            l_med, _ = space_loss(
+                jnp.tile(m1, (1, 1, 1, 3)), jnp.tile(m2, (1, 1, 1, 3)), lpips_fn=lpips_fn
+            )
+            l_small, _ = space_loss(cam1, cam2, lpips_fn=lpips_fn)
+            # reference weights: imgs + mask + Gcam (embedding_v2_BigGAN.py:148)
+            loss_msiv = l_imgs + l_med + l_small
+        else:
+            at1_1, at2_1 = attention_crops(imgs1)
+            at1_2, at2_2 = attention_crops(imgs2)
+            if cfg.detach_crops:
+                at1_1, at1_2 = jax.lax.stop_gradient((at1_1, at1_2))
+                at2_1, at2_2 = jax.lax.stop_gradient((at2_1, at2_2))
+            l_med, _ = space_loss(at1_1, at1_2, lpips_fn=lpips_fn)
+            l_small, _ = space_loss(at2_1, at2_2, lpips_fn=lpips_fn)
+            loss_msiv = (
+                l_imgs + cfg.crop_weight_medium * l_med + cfg.crop_weight_small * l_small
+            )
         l_w, _ = space_loss(w1, w2, image_space=False)
         l_c1, _ = space_loss(const2, const3, image_space=False)
         loss_mslv = 0.01 * (l_w + l_c1)

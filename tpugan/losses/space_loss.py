@@ -78,9 +78,10 @@ def space_loss(
     kl = _kl_quirk(a, b)
 
     af, bf = a.reshape(-1), b.reshape(-1)
-    cosine = 1.0 - jnp.dot(af, bf) / (
-        jnp.sqrt(jnp.dot(af, af)) * jnp.sqrt(jnp.dot(bf, bf))
-    )
+    # tiny-denominator guard: 0/0 on degenerate (all-constant) inputs would
+    # poison the total; identical to the reference for any real input
+    denom = jnp.sqrt(jnp.dot(af, af)) * jnp.sqrt(jnp.dot(bf, bf))
+    cosine = 1.0 - jnp.dot(af, bf) / jnp.maximum(denom, 1e-12)
 
     if image_space:
         while a.shape[1] > 256:
