@@ -30,7 +30,8 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
-    from tpugan.io.image import from_unit, load_image_dir, save_image, to_unit
+    from tpugan.io.image import from_unit, save_image, to_unit
+    from tpugan.io.native import load_image_dir_fast as load_image_dir
     from tpugan.losses.space_loss import space_loss
 
     bundle = build_bundle(args)

@@ -28,6 +28,8 @@ def main(argv=None):
     parser.add_argument("--optimizeE", type=str2bool, default=True)
     parser.add_argument("--beta", type=float, default=0.0)
     parser.add_argument("--norm_p", type=float, default=2.0)
+    parser.add_argument("--gradcam", action="store_true",
+                        help="grad-cam mask/overlay attention terms (embedding_v2_BigGAN)")
     parser.set_defaults(iterations=1500, lr=0.01, batch_size=1)
     args = parser.parse_args(argv)
 
@@ -35,7 +37,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from tpugan.invert import EmbeddingConfig, make_embedder
-    from tpugan.io.image import from_unit, load_image_dir, save_image, to_unit
+    from tpugan.io.image import from_unit, save_image, to_unit
+    from tpugan.io.native import load_image_dir_fast as load_image_dir
     from tpugan.ops.eq_lr import lreq_coef_tree
 
     bundle = build_bundle(args)
@@ -51,15 +54,33 @@ def main(argv=None):
     def resynth(w):
         return bundle.resynth(w, None, jax.random.PRNGKey(0))
 
+    vgg = vgg_vars = None
+    if args.gradcam:
+        from tpugan.losses.vgg import VGG16
+
+        vgg = VGG16()
+        if args.vgg_weights:
+            from tpugan.io import convert
+
+            sd = convert.load_torch_state_dict(args.vgg_weights)
+            vgg_vars = {"params": jax.tree.map(jnp.asarray, convert.vgg16(sd))}
+        else:
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                vgg_vars = jax.jit(vgg.init)(
+                    jax.random.PRNGKey(7), jnp.zeros((1, args.img_size, args.img_size, 3))
+                )
+
     cfg = EmbeddingConfig(
         iterations=args.iterations,
         lr=args.lr,
         optimize_e=args.optimizeE,
         beta=args.beta,
         norm_p=args.norm_p,
+        attention="gradcam" if args.gradcam else "crops",
     )
     invert = make_embedder(
-        encode, resynth, bundle.enc_vars["params"], coefs, cfg
+        encode, resynth, bundle.enc_vars["params"], coefs, cfg,
+        vgg=vgg, vgg_vars=vgg_vars,
     )
 
     images = load_image_dir(args.img_dir, args.img_size)

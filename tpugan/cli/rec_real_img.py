@@ -24,7 +24,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from tpugan.io.image import from_unit, load_image_dir, save_image, to_unit
+    from tpugan.io.image import from_unit, save_image, to_unit
+    from tpugan.io.native import load_image_dir_fast as load_image_dir
 
     bundle = build_bundle(args)
     enc_extra = {k: v for k, v in bundle.enc_vars.items() if k != "params"}
