@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     from tpugan.models import Encoder, StyleGAN2Generator
@@ -67,6 +68,7 @@ def main():
         z_dim=512,
         batch_size=batch,
         case=2,
+        remat=args.remat,
     )
     state = init_train_state(evars["params"], opt)
     jitted = jax.jit(step)

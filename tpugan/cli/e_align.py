@@ -18,6 +18,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="the training args")
     add_common_args(parser, training=True)
     parser.add_argument("--case", type=int, default=1, choices=(1, 2))
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialise activations (1024^2 memory knob)")
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--checkpoint_every", type=int, default=5000)
     args = parser.parse_args(argv)
@@ -93,6 +95,7 @@ def main(argv=None):
         spatial=args.space_shards > 1,
         image_weights=image_weights,
         latent_weights=latent_weights,
+        remat=args.remat,
     )
     jitted = jax.jit(step)
 

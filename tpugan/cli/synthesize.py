@@ -30,35 +30,31 @@ def main(argv=None):
 
     base, imgs_dir, _ = make_result_dirs(args.experiment_dir, f"mtype{args.mtype}-synth")
 
-    def synth(key, z):
+    # one jitted step per seed: z -> G -> E -> G, grids saved on host
+    import numpy as np
+
+    from tpugan.io.image import save_image_grid, to_unit
+    from tpugan.utils import iteration_key
+
+    @jax.jit
+    def step(seed):
+        key = iteration_key(seed)
+        kz, ke, kg = jax.random.split(key, 3)
+        z = jax.random.normal(kz, (args.batch_size, bundle.z_dim))
         batch = bundle.synth(key, z)
-        return batch, batch.imgs1
+        _, w2 = encode_fn(bundle.enc_vars["params"], batch, ke)
+        imgs2 = bundle.resynth(w2, batch, kg)
+        return batch.imgs1, imgs2
 
-    # adapt to synthesize_grids' (synth, encode, resynth) contract
-    state = {}
+    import jax.numpy as jnp
 
-    def synth2(key, z):
-        batch = bundle.synth(key, z)
-        state["batch"] = batch
-        return batch.w1, batch.imgs1
-
-    def encode2(imgs):
-        _, w2 = encode_fn(bundle.enc_vars["params"], state["batch"]._replace(imgs1=imgs), jax.random.PRNGKey(0))
-        return w2
-
-    def resynth2(w2):
-        return bundle.resynth(w2, state["batch"], jax.random.PRNGKey(0))
-
-    paths = synthesize_grids(
-        lambda key, z: synth2(key, z),
-        encode2,
-        resynth2,
-        imgs_dir,
-        batch_size=args.batch_size,
-        z_dim=bundle.z_dim,
-        start_seed=args.start_seed,
-        count=args.count,
-    )
+    paths = []
+    for seed in range(args.start_seed, args.start_seed + args.count):
+        imgs1, imgs2 = step(jnp.int32(seed))
+        grid = np.concatenate([to_unit(imgs1), to_unit(imgs2)], axis=0)
+        path = f"{imgs_dir}/seed{seed}.png"
+        save_image_grid(path, np.clip(grid, 0, 1), nrow=args.batch_size)
+        paths.append(path)
     for p in paths:
         print(p)
 

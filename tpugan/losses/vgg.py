@@ -11,7 +11,6 @@ differentiates ``head`` directly (tpugan.losses.gradcam).
 
 from __future__ import annotations
 
-import functools
 
 import flax.linen as nn
 import jax

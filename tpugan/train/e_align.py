@@ -21,7 +21,6 @@ the host syncs only at its own cadence (the reference's per-iteration
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -139,6 +138,7 @@ def make_train_step(
     image_weights=None,
     latent_weights=None,
     detach_image_losses=None,
+    remat: bool = False,
 ):
     """Build the jitted per-iteration train step.
 
@@ -161,6 +161,11 @@ def make_train_step(
         latent_weights = (1.0, 0.0)  # loss_c excluded in both scripts (:216)
     if detach_image_losses is None:
         detach_image_losses = case == 1
+    if remat:
+        # rematerialise encoder/generator activations in the backward pass
+        # (the 1024^2 pixel-gradient memory knob, SURVEY.md §5)
+        encode = jax.checkpoint(encode)
+        resynth = jax.checkpoint(resynth)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
