@@ -168,3 +168,53 @@ def test_cached_path_local(tmp_path):
         assert False
     except FileNotFoundError:
         pass
+
+
+def test_e_align_cli_stylegan2(tmp_path):
+    from tpugan.cli.e_align import main
+
+    exp = str(tmp_path / "exp_sg2")
+    main(
+        ["--mtype", "2", "--img_size", "16", "--random_init", "--iterations", "1",
+         "--batch_size", "2", "--log_every", "1", "--experiment_dir", exp,
+         "--start_features", "128"]
+    )
+    assert os.path.exists(os.path.join(exp, "Loss.txt"))
+
+
+def test_e_align_cli_biggan(tmp_path):
+    from tpugan.cli.e_align import main
+    from tpugan.models import BigGANConfig
+
+    # tiny BigGAN config via --config_dir (the reference's own mechanism)
+    cfg = BigGANConfig(
+        output_dim=16, z_dim=8, class_embed_dim=8, channel_width=4,
+        num_classes=10,
+        layers=[(False, 16, 16), (True, 16, 8), (False, 8, 4), (True, 4, 2), (False, 2, 1)],
+        attention_layer_position=1,
+    )
+    cfg_path = str(tmp_path / "biggan.json")
+    open(cfg_path, "w").write(cfg.to_json_string())
+
+    exp = str(tmp_path / "exp_big")
+    main(
+        ["--mtype", "4", "--img_size", "16", "--z_dim", "8", "--random_init",
+         "--iterations", "1", "--batch_size", "2", "--log_every", "1",
+         "--experiment_dir", exp, "--start_features", "128",
+         "--config_dir", cfg_path]
+    )
+    assert os.path.exists(os.path.join(exp, "Loss.txt"))
+
+
+def test_e_mis_align_cli(tmp_path):
+    from tpugan.cli.e_mis_align import main
+
+    exp = str(tmp_path / "exp_mis")
+    main(
+        ["--mtype", "1", "--img_size", "16", "--start_features", "128",
+         "--random_init", "--iterations", "1", "--batch_size", "2",
+         "--log_every", "1", "--experiment_dir", exp]
+    )
+    lines = open(os.path.join(exp, "Loss.txt")).read().strip().splitlines()
+    rec = json.loads(lines[-1])
+    assert np.isfinite(rec["loss_mask_mse"]) and np.isfinite(rec["loss_gcam_mse"])

@@ -250,7 +250,10 @@ def build_bundle(args) -> GanBundle:
             imgs2, _ = model.apply(variables, w2, batch.label, truncation)
             return imgs2
 
-        enc = BigGANEncoder(startf=args.start_features, maxf=512, layer_count=layer_count)
+        enc = BigGANEncoder(
+            startf=args.start_features, maxf=512, layer_count=layer_count,
+            cond_dim=2 * cfg.z_dim, z_dim=cfg.z_dim,
+        )
         with jax.default_device(cpu):
             img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
             c0 = jnp.zeros((1, 2 * cfg.z_dim))

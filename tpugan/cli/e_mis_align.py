@@ -58,18 +58,18 @@ def main(argv=None):
         resynth=bundle.resynth,
         optimizer=opt,
         vgg=vgg,
-        vgg_vars=vgg_vars,
         z_dim=bundle.z_dim,
         batch_size=args.batch_size,
     )
     jitted = jax.jit(step)
+    vgg_vars = jax.device_put(vgg_vars)
 
     name = f"mtype{args.mtype}-{args.img_size}-misalign"
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
     state = init_train_state(bundle.enc_vars["params"], opt)
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
     for iteration in range(args.iterations):
-        state, info = jitted(state, jnp.int32(iteration))
+        state, info = jitted(state, jnp.int32(iteration), vgg_vars)
         if iteration % args.log_every == 0:
             rec = {
                 "iteration": iteration,

@@ -45,20 +45,23 @@ def make_mis_align_step(
     resynth: Callable[[jax.Array, SynthBatch, jax.Array], jax.Array],
     optimizer: optax.GradientTransformation,
     vgg,
-    vgg_vars: Any,
     z_dim: int,
     batch_size: int,
     lpips_fn=None,
     seed_salt: int = 0,
 ):
-    """Jitted per-iteration step for the Grad-CAM training case."""
+    """Jitted per-iteration step for the Grad-CAM training case.
 
-    def attention(images):
-        mask = grad_cam(vgg, vgg_vars, images, plus_plus=True)  # [N,H,W,1]
-        _, cam = mask2cam(mask, images)
-        return mask, cam
+    ``vgg_vars`` is an explicit step argument (not a closure capture): the
+    VGG16 weights are ~550 MB as baked-in constants, which overflows
+    program-upload limits — as an argument they stay device-resident."""
 
-    def step(state: EncoderTrainState, iteration):
+    def step(state: EncoderTrainState, iteration, vgg_vars):
+        def attention(images):
+            mask = grad_cam(vgg, vgg_vars, images, plus_plus=True)  # [N,H,W,1]
+            _, cam = mask2cam(mask, images)
+            return mask, cam
+
         key = iteration_key(iteration, salt=seed_salt)
         kz, kg1, ke, kg2 = jax.random.split(key, 4)
         z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
