@@ -58,7 +58,7 @@ def build_step():
 
     coefs_tree = lreq_coef_tree(enc_vars["params"], enc_vars["lreq"])
     opt = lreq_adam(0.0015, coefs=coefs_tree)
-    synth, resynth = build_stylegan1_pipeline(gen, gm, gen_vars, gm_vars, lod=LAYER_COUNT - 1)
+    synth, resynth, frozen = build_stylegan1_pipeline(gen, gm, gen_vars, gm_vars, lod=LAYER_COUNT - 1)
     step = make_train_step(
         encode=make_encode_fn(enc, {k: v for k, v in enc_vars.items() if k != "params"}),
         synth=synth,
@@ -69,19 +69,21 @@ def build_step():
         case=1,
     )
     state = init_train_state(enc_vars["params"], opt)
-    return step, state
+    return step, state, frozen
 
 
-def time_step(step, state, iters, device=None):
+def time_step(step, state, frozen, iters, device=None):
     ctx = jax.default_device(device) if device is not None else _nullcontext()
     with ctx:
         jitted = jax.jit(step)
-        state = jax.device_put(state, device) if device is not None else state
-        state, info = jitted(state, jnp.int32(0))  # compile + warm
+        if device is not None:
+            state = jax.device_put(state, device)
+            frozen = jax.device_put(frozen, device)
+        state, info = jitted(state, jnp.int32(0), frozen)  # compile + warm
         jax.block_until_ready(state)
         t0 = time.perf_counter()
         for i in range(iters):
-            state, info = jitted(state, jnp.int32(i))
+            state, info = jitted(state, jnp.int32(i), frozen)
         jax.block_until_ready(state)
         dt = (time.perf_counter() - t0) / iters
     return dt
@@ -96,16 +98,16 @@ class _nullcontext:
 
 
 def main():
-    step, state = build_step()
+    step, state, frozen = build_step()
 
-    dt = time_step(step, state, iters=30)
+    dt = time_step(step, state, frozen, iters=30)
     steps_per_sec = 1.0 / dt
     images_per_sec = BATCH * steps_per_sec
 
     if BASELINE_FILE.exists():
         cpu_images_per_sec = json.loads(BASELINE_FILE.read_text())["cpu_images_per_sec"]
     else:
-        cpu_dt = time_step(step, state, iters=2, device=jax.local_devices(backend="cpu")[0])
+        cpu_dt = time_step(step, state, frozen, iters=2, device=jax.local_devices(backend="cpu")[0])
         cpu_images_per_sec = BATCH / cpu_dt
         BASELINE_FILE.write_text(
             json.dumps(

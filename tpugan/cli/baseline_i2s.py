@@ -37,7 +37,7 @@ def main(argv=None):
     bundle = build_bundle(args)
 
     def resynth(w):
-        return bundle.resynth(w, None, jax.random.PRNGKey(0))
+        return bundle.resynth(bundle.frozen, w, None, jax.random.PRNGKey(0))
 
     opt = optax.adam(args.lr)
 

@@ -57,16 +57,21 @@ def add_common_args(parser: argparse.ArgumentParser, training: bool = True):
 
 
 class GanBundle(NamedTuple):
-    """Frozen generator closures + encoder for one mtype."""
+    """Frozen generator closures + encoder for one mtype.
 
-    synth: Any  # (key, z) -> SynthBatch
-    resynth: Any  # (w, batch, key) -> images
+    ``synth(frozen, key, z)`` / ``resynth(frozen, w, batch, key)`` take the
+    frozen weight pytree explicitly so jitted steps receive it as an
+    argument (closure-captured weights overflow remote-compile payloads)."""
+
+    synth: Any  # (frozen, key, z) -> SynthBatch
+    resynth: Any  # (frozen, w, batch, key) -> images
     encoder: Any  # flax module
     enc_vars: Any
     z_dim: int
     layer_count: int
     num_style_layers: int
-    remap: Any = None  # z -> w+ (mtype 1 mapping; ablation-1 re-mapping)
+    frozen: Any = None  # frozen generator weight pytree
+    remap: Any = None  # (frozen, z) -> w+ (mtype 1; ablation-1 re-mapping)
 
 
 def _encoder_variant_kwargs(ablation: int, case: int) -> dict:
@@ -117,7 +122,7 @@ def build_bundle(args) -> GanBundle:
             gen_vars = {"params": jax.tree.map(jnp.asarray, convert.stylegan1_generator(gs_state, layer_count))}
             gm_vars = {"params": jax.tree.map(jnp.asarray, convert.stylegan1_mapping(gm_state))}
             center = jnp.asarray(convert.center_tensor(os.path.join(path, "center_tensor.pt")))
-        synth, resynth = build_stylegan1_pipeline(
+        synth, resynth, frozen = build_stylegan1_pipeline(
             gen, gm, gen_vars, gm_vars, lod=layer_count - 1, center=center
         )
         enc = Encoder(
@@ -135,8 +140,11 @@ def build_bundle(args) -> GanBundle:
         from tpugan.models.stylegan1 import truncation_coefs
 
         coefs = truncation_coefs(2 * layer_count)
-        remap = lambda z: gm.apply(gm_vars, z, coefs, center)
-        return GanBundle(synth, resynth, enc, enc_vars, 512, layer_count, 2 * layer_count, remap)
+        remap = lambda frozen, z: gm.apply(frozen["gm"], z, coefs, frozen["center"])
+        return GanBundle(
+            synth, resynth, enc, enc_vars, 512, layer_count, 2 * layer_count,
+            frozen, remap,
+        )
 
     if mtype == 2:
         from tpugan.io import convert
@@ -162,15 +170,15 @@ def build_bundle(args) -> GanBundle:
             )
             variables = jax.tree.map(jnp.asarray, converted)
 
-        def synth(keyk, z):
-            out = gen.apply(variables, z, trunc_psi=0.7, trunc_layers=8)
+        def synth(frozen, keyk, z):
+            out = gen.apply(frozen, z, trunc_psi=0.7, trunc_layers=8)
             const1 = jnp.repeat(
-                variables["params"]["synthesis"]["const"], z.shape[0], axis=0
+                frozen["params"]["synthesis"]["const"], z.shape[0], axis=0
             )
             return SynthBatch(w1=out["wp"], imgs1=out["image"], const1=const1)
 
-        def resynth(w, batch, keyk):
-            return gen.apply(variables, w, method=gen.synthesize)["image"]
+        def resynth(frozen, w, batch, keyk):
+            return gen.apply(frozen, w, method=gen.synthesize)["image"]
 
         enc = Encoder(
             startf=args.start_features, maxf=512, layer_count=layer_count, latent_size=512,
@@ -179,7 +187,9 @@ def build_bundle(args) -> GanBundle:
         with jax.default_device(cpu):
             img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
             enc_vars = jax.jit(enc.init)({"params": key, "noise": key}, img0)
-        return GanBundle(synth, resynth, enc, enc_vars, 512, layer_count, 2 * layer_count)
+        return GanBundle(
+            synth, resynth, enc, enc_vars, 512, layer_count, 2 * layer_count, variables
+        )
 
     if mtype == 3:
         from tpugan.io import convert
@@ -200,18 +210,20 @@ def build_bundle(args) -> GanBundle:
                 }
             variables = {"params": jax.tree.map(jnp.asarray, convert.pggan_generator(state))}
 
-        def synth(keyk, z):
-            out = gen.apply(variables, z)
+        def synth(frozen, keyk, z):
+            out = gen.apply(frozen, z)
             return SynthBatch(w1=z, imgs1=out["image"], const1=jnp.zeros((z.shape[0], 1)))
 
-        def resynth(z, batch, keyk):
-            return gen.apply(variables, z)["image"]
+        def resynth(frozen, z, batch, keyk):
+            return gen.apply(frozen, z)["image"]
 
         enc = PGEncoder(startf=args.start_features, maxf=512, layer_count=layer_count, latent_size=512)
         with jax.default_device(cpu):
             img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
             enc_vars = jax.jit(enc.init)({"params": key, "noise": key}, img0)
-        return GanBundle(synth, resynth, enc, enc_vars, args.z_dim, layer_count, 2 * layer_count)
+        return GanBundle(
+            synth, resynth, enc, enc_vars, args.z_dim, layer_count, 2 * layer_count, variables
+        )
 
     if mtype == 4:
         from tpugan.io import convert
@@ -235,19 +247,19 @@ def build_bundle(args) -> GanBundle:
 
         truncation = 0.4
 
-        def synth(keyk, z):
+        def synth(frozen, keyk, z):
             # BigGAN path draws truncated z and a shared random class
             # (E_align_cropping_s1.py:140-150)
             kz, kl = jax.random.split(keyk)
             zt = truncated_noise_sample(kz, z.shape[0], cfg.z_dim, truncation)
             flag = jax.random.randint(kl, (), 0, cfg.num_classes)
             label = one_hot(jnp.full((z.shape[0],), flag), cfg.num_classes)
-            imgs1, cond = model.apply(variables, zt, label, truncation)
+            imgs1, cond = model.apply(frozen, zt, label, truncation)
             return SynthBatch(w1=zt, imgs1=imgs1, const1=cond, label=label)
 
-        def resynth(w2, batch, keyk):
+        def resynth(frozen, w2, batch, keyk):
             # regenerate with the same conditions (E_align_cropping_s1.py:162)
-            imgs2, _ = model.apply(variables, w2, batch.label, truncation)
+            imgs2, _ = model.apply(frozen, w2, batch.label, truncation)
             return imgs2
 
         enc = BigGANEncoder(
@@ -258,7 +270,9 @@ def build_bundle(args) -> GanBundle:
             img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
             c0 = jnp.zeros((1, 2 * cfg.z_dim))
             enc_vars = jax.jit(lambda x, c: enc.init({"params": key, "noise": key}, x, c))(img0, c0)
-        return GanBundle(synth, resynth, enc, enc_vars, cfg.z_dim, layer_count, 2 * layer_count)
+        return GanBundle(
+            synth, resynth, enc, enc_vars, cfg.z_dim, layer_count, 2 * layer_count, variables
+        )
 
     raise ValueError(f"unknown mtype {args.mtype}")
 

@@ -62,14 +62,14 @@ def main(argv=None):
             assert args.mtype == 1, "ablation 1 (z re-mapping) is StyleGANv1-only"
             base_synth = bundle.synth
 
-            def synth_fn(key, z):
-                return base_synth(key, z)._replace(const1=z)
+            def synth_fn(frozen, key, z):
+                return base_synth(frozen, key, z)._replace(const1=z)
 
             def encode_fn(params, batch, key):
                 _, z2 = bundle.encoder.apply(
                     {**enc_extra, "params": params}, batch.imgs1, rngs={"noise": key}
                 )
-                return z2, bundle.remap(z2)
+                return z2, bundle.remap(bundle.frozen, z2)
 
     lpips_fn = None
     if args.lpips_weights:
@@ -98,6 +98,7 @@ def main(argv=None):
         remat=args.remat,
     )
     jitted = jax.jit(step)
+    frozen = jax.device_put(bundle.frozen)
 
     name = f"mtype{args.mtype}-{args.img_size}-case{args.case}" + (f"-ab{ab}" if ab else "")
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
@@ -105,7 +106,7 @@ def main(argv=None):
 
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
     for iteration in range(args.iterations):
-        state, info = jitted(state, jnp.int32(iteration))
+        state, info = jitted(state, jnp.int32(iteration), frozen)
         if iteration % args.log_every == 0:
             rec = {
                 "iteration": iteration,
@@ -126,9 +127,9 @@ def main(argv=None):
             key = iteration_key(iteration)
             kz, kg1, ke, kg2 = jax.random.split(key, 4)
             z = jax.random.normal(kz, (args.batch_size, bundle.z_dim))
-            batch = synth_fn(kg1, z)
+            batch = synth_fn(frozen, kg1, z)
             _, w2 = encode_used(state.params, batch, ke)
-            imgs2 = bundle.resynth(w2, batch, kg2)
+            imgs2 = bundle.resynth(frozen, w2, batch, kg2)
             import numpy as np
 
             grid = np.concatenate([to_unit(batch.imgs1), to_unit(imgs2)], axis=0)

@@ -44,7 +44,7 @@ def main(argv=None):
 
     direction = load_direction(args.direction)
     w_edited = edit_latent(w, direction, args.bonus, args.start, args.end)
-    img = bundle.resynth(w_edited, None, jax.random.PRNGKey(0))
+    img = bundle.resynth(bundle.frozen, w_edited, None, jax.random.PRNGKey(0))
     save_image(args.out, np.clip(to_unit(np.asarray(img[0])), 0, 1))
     print(args.out)
 

@@ -52,7 +52,7 @@ def main(argv=None):
         )
 
     def resynth(w):
-        return bundle.resynth(w, None, jax.random.PRNGKey(0))
+        return bundle.resynth(bundle.frozen, w, None, jax.random.PRNGKey(0))
 
     vgg = vgg_vars = None
     if args.gradcam:

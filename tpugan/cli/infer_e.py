@@ -52,17 +52,18 @@ def main(argv=None):
                 )
 
     @jax.jit
-    def run(seed):
+    def run(seed, frozen):
         key = iteration_key(seed)
         kz, ke, kg = jax.random.split(key, 3)
         z = jax.random.normal(kz, (args.batch_size, bundle.z_dim))
-        batch = bundle.synth(key, z)
+        batch = bundle.synth(frozen, key, z)
         _, w2 = encode_fn(bundle.enc_vars["params"], batch, ke)
-        imgs2 = bundle.resynth(w2, batch, kg)
+        imgs2 = bundle.resynth(frozen, w2, batch, kg)
         return batch.imgs1, imgs2
 
+    frozen = jax.device_put(bundle.frozen)
     for seed in range(args.seed_eval, args.seed_eval + args.count):
-        imgs1, imgs2 = run(jnp.int32(seed))
+        imgs1, imgs2 = run(jnp.int32(seed), frozen)
         grid = np.concatenate([to_unit(imgs1), to_unit(imgs2)], axis=0)
         save_image_grid(
             os.path.join(imgs_dir, f"infer_seed{seed}.png"), np.clip(grid, 0, 1),

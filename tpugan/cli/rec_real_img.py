@@ -36,7 +36,7 @@ def main(argv=None):
             {**enc_extra, "params": bundle.enc_vars["params"]}, imgs,
             rngs={"noise": jax.random.PRNGKey(0)},
         )
-        return bundle.resynth(w, None, jax.random.PRNGKey(0)), w
+        return bundle.resynth(bundle.frozen, w, None, jax.random.PRNGKey(0)), w
 
     images = from_unit(load_image_dir(args.img_dir, args.img_size))
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, f"mtype{args.mtype}-rec")

@@ -37,20 +37,21 @@ def main(argv=None):
     from tpugan.utils import iteration_key
 
     @jax.jit
-    def step(seed):
+    def step(seed, frozen):
         key = iteration_key(seed)
         kz, ke, kg = jax.random.split(key, 3)
         z = jax.random.normal(kz, (args.batch_size, bundle.z_dim))
-        batch = bundle.synth(key, z)
+        batch = bundle.synth(frozen, key, z)
         _, w2 = encode_fn(bundle.enc_vars["params"], batch, ke)
-        imgs2 = bundle.resynth(w2, batch, kg)
+        imgs2 = bundle.resynth(frozen, w2, batch, kg)
         return batch.imgs1, imgs2
 
     import jax.numpy as jnp
 
+    frozen = jax.device_put(bundle.frozen)
     paths = []
     for seed in range(args.start_seed, args.start_seed + args.count):
-        imgs1, imgs2 = step(jnp.int32(seed))
+        imgs1, imgs2 = step(jnp.int32(seed), frozen)
         grid = np.concatenate([to_unit(imgs1), to_unit(imgs2)], axis=0)
         path = f"{imgs_dir}/seed{seed}.png"
         save_image_grid(path, np.clip(grid, 0, 1), nrow=args.batch_size)

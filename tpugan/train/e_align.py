@@ -84,23 +84,29 @@ def build_stylegan1_pipeline(
     psi: float = 0.7,
     center: Optional[jax.Array] = None,
 ):
-    """Frozen StyleGANv1 synth/resynth closures (mtype 1).
+    """Frozen StyleGANv1 synth/resynth closures + frozen weights (mtype 1).
 
     Mirrors E_align_cropping_s1.py:106-109 (w1 = Gm(z, coefs); imgs1 =
     Gs(w1, lod)) and :157-158 (imgs2 = Gs(w2, lod)).
+
+    Returns (synth, resynth, frozen): the weights come back as an explicit
+    pytree that the train step threads through jit as an *argument* —
+    closure-captured weight trees are serialized into the program upload
+    and overflow compile-payload limits on remote-compile backends.
     """
     coefs = truncation_coefs(gm.num_layers, psi)
+    frozen = {"gen": gen_vars, "gm": gm_vars, "center": center}
 
-    def synth(key: jax.Array, z: jax.Array) -> SynthBatch:
-        w1 = gm.apply(gm_vars, z, coefs, center)
-        imgs1 = gen.apply(gen_vars, w1, lod, rngs={"noise": key})
-        const1 = jnp.repeat(gen_vars["params"]["const"], z.shape[0], axis=0)
+    def synth(frozen, key: jax.Array, z: jax.Array) -> SynthBatch:
+        w1 = gm.apply(frozen["gm"], z, coefs, frozen["center"])
+        imgs1 = gen.apply(frozen["gen"], w1, lod, rngs={"noise": key})
+        const1 = jnp.repeat(frozen["gen"]["params"]["const"], z.shape[0], axis=0)
         return SynthBatch(w1=w1, imgs1=imgs1, const1=const1)
 
-    def resynth(w2: jax.Array, batch: SynthBatch, key: jax.Array) -> jax.Array:
-        return gen.apply(gen_vars, w2, lod, rngs={"noise": key})
+    def resynth(frozen, w2: jax.Array, batch: SynthBatch, key: jax.Array) -> jax.Array:
+        return gen.apply(frozen["gen"], w2, lod, rngs={"noise": key})
 
-    return synth, resynth
+    return synth, resynth, frozen
 
 
 def make_encode_fn(encoder, enc_extra_vars):
@@ -125,8 +131,8 @@ def make_encode_fn(encoder, enc_extra_vars):
 
 def make_train_step(
     encode: Callable[[Any, SynthBatch, jax.Array], tuple],
-    synth: Callable[[jax.Array, jax.Array], SynthBatch],
-    resynth: Callable[[jax.Array, "SynthBatch", jax.Array], jax.Array],
+    synth: Callable[[Any, jax.Array, jax.Array], SynthBatch],
+    resynth: Callable[[Any, jax.Array, "SynthBatch", jax.Array], jax.Array],
     optimizer: optax.GradientTransformation,
     z_dim: int,
     batch_size: int,
@@ -142,9 +148,11 @@ def make_train_step(
 ):
     """Build the jitted per-iteration train step.
 
-    Returns ``step(state, iteration) -> (state, StepInfo)``. ``iteration``
-    is a traced int32 scalar; the PRNG follows the reference seed
-    discipline (seed = iteration % 30000).
+    Returns ``step(state, iteration, frozen) -> (state, StepInfo)``.
+    ``iteration`` is a traced int32 scalar; the PRNG follows the reference
+    seed discipline (seed = iteration % 30000). ``frozen`` carries the
+    frozen generator weights as a jit argument (see
+    build_stylegan1_pipeline).
 
     With ``mesh``, sharding constraints pin the batch to the ``data`` axis
     and (``spatial=True``) the image height to the ``space`` axis; XLA
@@ -188,9 +196,9 @@ def make_train_step(
         def constrain(z, batch):
             return z, batch
 
-    def losses(params, batch: SynthBatch, key_enc, key_resynth):
+    def losses(params, frozen, batch: SynthBatch, key_enc, key_resynth):
         const2, w2 = encode(params, batch, key_enc)
-        imgs2 = resynth(w2, batch, key_resynth)
+        imgs2 = resynth(frozen, w2, batch, key_resynth)
 
         if detach_image_losses:
             # reference detaches both sides of every image-space loss
@@ -228,17 +236,17 @@ def make_train_step(
         )
         return loss_tsa, loss_mtv, info
 
-    def step(state: EncoderTrainState, iteration) -> tuple[EncoderTrainState, StepInfo]:
+    def step(state: EncoderTrainState, iteration, frozen) -> tuple[EncoderTrainState, StepInfo]:
         key = iteration_key(iteration, salt=seed_salt)
         kz, kg1, ke, kg2 = jax.random.split(key, 4)
         z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
-        batch = jax.lax.stop_gradient(synth(kg1, z))
+        batch = jax.lax.stop_gradient(synth(frozen, kg1, z))
         z, batch = constrain(z, batch)
 
         if case == 1:
             # image losses carry no gradient; single effective update on mtv
             def mtv_loss(p):
-                _, loss_mtv, info = losses(p, batch, ke, kg2)
+                _, loss_mtv, info = losses(p, frozen, batch, ke, kg2)
                 return loss_mtv, info
 
             (_, info), grads = jax.value_and_grad(mtv_loss, has_aux=True)(state.params)
@@ -247,11 +255,11 @@ def make_train_step(
         else:
             # two sequential updates, both gradients at the initial params
             def tsa_loss(p):
-                loss_tsa, _, info = losses(p, batch, ke, kg2)
+                loss_tsa, _, info = losses(p, frozen, batch, ke, kg2)
                 return loss_tsa, info
 
             def mtv_loss(p):
-                _, loss_mtv, _ = losses(p, batch, ke, kg2)
+                _, loss_mtv, _ = losses(p, frozen, batch, ke, kg2)
                 return loss_mtv
 
             (_, info), g_tsa = jax.value_and_grad(tsa_loss, has_aux=True)(state.params)

@@ -56,7 +56,7 @@ def make_mis_align_step(
     VGG16 weights are ~550 MB as baked-in constants, which overflows
     program-upload limits — as an argument they stay device-resident."""
 
-    def step(state: EncoderTrainState, iteration, vgg_vars):
+    def step(state: EncoderTrainState, iteration, frozen, vgg_vars):
         def attention(images):
             mask = grad_cam(vgg, vgg_vars, images, plus_plus=True)  # [N,H,W,1]
             _, cam = mask2cam(mask, images)
@@ -65,11 +65,11 @@ def make_mis_align_step(
         key = iteration_key(iteration, salt=seed_salt)
         kz, kg1, ke, kg2 = jax.random.split(key, 4)
         z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
-        batch = jax.lax.stop_gradient(synth(kg1, z))
+        batch = jax.lax.stop_gradient(synth(frozen, kg1, z))
 
         def losses(params):
             const2, w2 = encode(params, batch, ke)
-            imgs2 = resynth(w2, batch, kg2)
+            imgs2 = resynth(frozen, w2, batch, kg2)
             i1 = jax.lax.stop_gradient(batch.imgs1)
             i2 = jax.lax.stop_gradient(imgs2)
             mask1, cam1 = attention(i1)
