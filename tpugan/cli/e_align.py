@@ -20,6 +20,9 @@ def main(argv=None):
     parser.add_argument("--case", type=int, default=1, choices=(1, 2))
     parser.add_argument("--remat", action="store_true",
                         help="rematerialise activations (1024^2 memory knob)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 frozen-generator weights (~5%% step win, "
+                             "encoder stays fp32)")
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--checkpoint_every", type=int, default=5000)
     args = parser.parse_args(argv)
@@ -98,7 +101,17 @@ def main(argv=None):
         remat=args.remat,
     )
     jitted = jax.jit(step)
-    frozen = jax.device_put(bundle.frozen)
+    frozen = bundle.frozen
+    if args.bf16:
+        import jax.numpy as _jnp
+
+        frozen = jax.tree.map(
+            lambda x: x.astype(_jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == _jnp.float32
+            else x,
+            frozen,
+        )
+    frozen = jax.device_put(frozen)
 
     name = f"mtype{args.mtype}-{args.img_size}-case{args.case}" + (f"-ab{ab}" if ab else "")
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
