@@ -76,10 +76,11 @@ def time_step(step, state, frozen, iters, device=None):
     ctx = jax.default_device(device) if device is not None else _nullcontext()
     with ctx:
         jitted = jax.jit(step)
-        # pin the weights to the target device: leaving them on the init
-        # (CPU) device would re-transfer the whole tree every step
-        state = jax.device_put(state, device)
-        frozen = jax.device_put(frozen, device)
+        # pin state+weights to the target device EXPLICITLY: CPU-committed
+        # arrays silently drag the whole jit onto the CPU
+        target = device or jax.devices()[0]
+        state = jax.device_put(state, target)
+        frozen = jax.device_put(frozen, target)
         state, info = jitted(state, jnp.int32(0), frozen)  # compile + warm
         jax.block_until_ready(state)
         t0 = time.perf_counter()

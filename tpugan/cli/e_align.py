@@ -36,6 +36,7 @@ def main(argv=None):
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
     from tpugan.parallel import make_mesh
+    from tpugan.runtime import to_accelerator
     from tpugan.train import make_encode_fn, make_train_step
     from tpugan.train.e_align import init_train_state
 
@@ -111,11 +112,17 @@ def main(argv=None):
             else x,
             frozen,
         )
-    frozen = jax.device_put(frozen)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        placement = NamedSharding(mesh, P())  # replicated over the mesh
+    else:
+        placement = jax.devices()[0]
+    frozen = jax.device_put(frozen, placement)
 
     name = f"mtype{args.mtype}-{args.img_size}-case{args.case}" + (f"-ab{ab}" if ab else "")
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
-    state = init_train_state(bundle.enc_vars["params"], opt)
+    state = jax.device_put(init_train_state(bundle.enc_vars["params"], opt), placement)
 
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
     for iteration in range(args.iterations):

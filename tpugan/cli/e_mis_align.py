@@ -62,12 +62,14 @@ def main(argv=None):
         batch_size=args.batch_size,
     )
     jitted = jax.jit(step)
-    vgg_vars = jax.device_put(vgg_vars)
-    frozen = jax.device_put(bundle.frozen)
+    from tpugan.runtime import to_accelerator
+    vgg_vars = to_accelerator(vgg_vars)
+    from tpugan.runtime import to_accelerator
+    frozen = to_accelerator(bundle.frozen)
 
     name = f"mtype{args.mtype}-{args.img_size}-misalign"
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
-    state = init_train_state(bundle.enc_vars["params"], opt)
+    state = to_accelerator(init_train_state(bundle.enc_vars["params"], opt))
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
     for iteration in range(args.iterations):
         state, info = jitted(state, jnp.int32(iteration), frozen, vgg_vars)

@@ -61,7 +61,8 @@ def main(argv=None):
         imgs2 = bundle.resynth(frozen, w2, batch, kg)
         return batch.imgs1, imgs2
 
-    frozen = jax.device_put(bundle.frozen)
+    from tpugan.runtime import to_accelerator
+    frozen = to_accelerator(bundle.frozen)
     for seed in range(args.seed_eval, args.seed_eval + args.count):
         imgs1, imgs2 = run(jnp.int32(seed), frozen)
         grid = np.concatenate([to_unit(imgs1), to_unit(imgs2)], axis=0)

@@ -48,7 +48,8 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    frozen = jax.device_put(bundle.frozen)
+    from tpugan.runtime import to_accelerator
+    frozen = to_accelerator(bundle.frozen)
     paths = []
     for seed in range(args.start_seed, args.start_seed + args.count):
         imgs1, imgs2 = step(jnp.int32(seed), frozen)

@@ -24,3 +24,16 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without these knobs
+
+
+def to_accelerator(tree, device=None):
+    """device_put a pytree onto the accelerator, explicitly.
+
+    Arrays initialised under ``jax.default_device(cpu)`` come out
+    CPU-committed; passing them to jit drags the whole computation onto the
+    CPU silently. ``jax.device_put(x)`` without a device does NOT move
+    committed arrays — the device must be explicit."""
+    import jax
+
+    device = device or jax.devices()[0]
+    return jax.device_put(tree, device)
