@@ -128,3 +128,13 @@ def test_encoder_std_only_stats(rng):
     assert v["params"]["block_0"]["inver_mod1"]["kernel"].shape == (4, 8)
     _, w = enc.apply(v, x, rngs={"noise": jax.random.PRNGKey(2)})
     assert w.shape == (1, 6, 8)
+
+
+def test_encoder_v1_block_ordering(rng):
+    """E_v1: conv before IN, resnet residual, no 0.111 mix (E_v1.py:67-100)."""
+    enc = Encoder(startf=4, maxf=16, layer_count=3, latent_size=8, block_version=1)
+    x = jnp.asarray(rng.randn(1, 16, 16, 3).astype(np.float32))
+    v = enc.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x)
+    const, w = enc.apply(v, x, rngs={"noise": jax.random.PRNGKey(2)})
+    assert w.shape == (1, 6, 8)
+    assert "in3_scale" in v["params"]["block_0"]  # affine IN on the bypass

@@ -52,9 +52,12 @@ class EncoderBlock(nn.Module):
     use_noise: bool = True
     style_mode: str = "dual"  # dual | single | none
     style_stats: str = "meanstd"  # meanstd | std (E_v2_std: std-only heads)
+    block_version: int = 2  # 2 = E.py; 1 = E_v1.py (pre-residual ordering)
 
     @nn.compact
     def __call__(self, x, noise: Optional[Sequence[jax.Array]] = None):
+        if self.block_version == 1:
+            return self._v1_forward(x, noise)
         cin, cout = self.in_features, self.out_features
         emit_styles = self.style_mode != "none"
         w1 = w2 = None
@@ -114,6 +117,48 @@ class EncoderBlock(nn.Module):
         x = 0.111 * x + 0.889 * residual
         return x, w1, w2
 
+    def _v1_forward(self, x, noise):
+        """E_v1 block (Ablation_Study/E_v1.py:67-100): conv before IN,
+        plain resnet-style residual (conv_3 + affine IN), no 0.111 mix."""
+        cin, cout = self.in_features, self.out_features
+        residual = x
+
+        def stats(y):
+            mean, std = instance_moments(y)
+            return jnp.concatenate([mean, std], axis=-1)
+
+        w1 = EqLinear(self.latent_size, gain=1.0, name="inver_mod1")(stats(x))
+
+        key1 = key2 = None
+        if self.use_noise and noise is None and self.has_rng("noise"):
+            key1, key2 = jax.random.split(self.make_rng("noise"))
+        x = EqConv(cin, 3, padding=1, use_bias=False, name="conv_1")(x)
+        x = instance_norm(x)
+        nw1 = self.param("noise_weight_1", nn.initializers.zeros, (cin,))
+        x = noise_inject(x, nw1, key1, noise[0] if noise is not None else None)
+        b1 = self.param("bias_1", nn.initializers.zeros, (cin,))
+        x = leaky_relu(x + b1, 0.2)
+
+        w2 = EqLinear(self.latent_size, gain=1.0, name="inver_mod2")(stats(x))
+
+        if self.has_last_conv:
+            x = EqConv(cout, 3, padding=1, use_bias=False, name="conv_2")(x)
+            x = instance_norm(x)
+            nw2 = self.param("noise_weight_2", nn.initializers.zeros, (cout,))
+            x = noise_inject(x, nw2, key2, noise[1] if noise is not None else None)
+            b2 = self.param("bias_2", nn.initializers.zeros, (cout,))
+            x = x + b2
+            if cin != cout:
+                residual = EqConv(cout, 1, name="conv_3")(residual)
+                residual = instance_norm(residual)
+                g = self.param("in3_scale", nn.initializers.ones, (cout,))
+                bb = self.param("in3_bias", nn.initializers.zeros, (cout,))
+                residual = residual * g + bb
+            x = x + residual
+            x = leaky_relu(x, 0.2)
+            x = downscale2d(x)
+        return x, w1, w2
+
 
 class Encoder(nn.Module):
     """BE (E.py:88-135) / BE_Blur (E_Blur.py) and ablation variants.
@@ -133,6 +178,7 @@ class Encoder(nn.Module):
     use_noise: bool = True
     style_mode: str = "dual"  # dual | single | none
     style_stats: str = "meanstd"  # std -> E_v2_std ablation encoder
+    block_version: int = 2  # 1 -> E_v1 pre-residual blocks
     z_head: bool = False  # E_Blur_Z: stride-2 conv head 4x4 -> z (out_z)
 
     @nn.compact
@@ -157,6 +203,7 @@ class Encoder(nn.Module):
                 use_noise=self.use_noise,
                 style_mode=self.style_mode,
                 style_stats=self.style_stats,
+                block_version=self.block_version,
                 name=f"block_{i}",
             )
             if i >= start_block:

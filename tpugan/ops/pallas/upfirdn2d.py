@@ -69,12 +69,12 @@ def upfirdn2d_pallas(
     assert tile_h * down % up == 0
     # rows of (pre-padded) input read per tile, incl. halo and the extra
     # (down-1) slack the decimation reshape reads past the last output row
-    tin = _cdiv(tile_h * down + kh - 1 + off, up)
+    tin = _cdiv(tile_h * down + kh - 1 + off, up) + (1 if up == 2 else 0)
     n_tiles = _cdiv(h_out, tile_h)
     i0_max = ((n_tiles - 1) * tile_h * down) // up
     ph1 = max(0, i0_max + tin - (h + ph0))
     pw0 = ph0
-    pw1 = max(0, _cdiv(w_out * down + kw - 1 + off, up) - (w + pw0))
+    pw1 = max(0, _cdiv(w_out * down + kw - 1 + off, up) + (1 if up == 2 else 0) - (w + pw0))
     # keep the DMA'd block's sublane dim (win) 8-aligned for Mosaic
     pw1 += (-(w + pw0 + pw1)) % 8
 
@@ -145,6 +145,41 @@ def _stuff(x, up, axis):
     return stacked.reshape(shape)
 
 
+def _fir_axis_up2(x, taps, off, out_len, axis):
+    """2x-upsampling FIR without materialising the stuffed signal.
+
+    out[2j+p] = sum over the taps t with (p+t+off) even of
+    taps[t] * x[j + (p+t+off)//2]; the two phases are plain short FIRs on
+    the raw samples, interleaved at the end — half the reads and no
+    multiply-by-zero work compared to stuff-then-filter.
+    """
+    even_len = out_len + (out_len % 2)
+    half = even_len // 2
+    phases = []
+    for p in (0, 1):
+        acc = None
+        for t, kt in enumerate(taps):
+            if (p + t + off) % 2 != 0:
+                continue
+            shift = (p + t + off) // 2
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(shift, shift + half)
+            piece = x[tuple(sl)] * kt
+            acc = piece if acc is None else acc + piece
+        if acc is None:
+            acc = jnp.zeros_like(phases[0]) if phases else None
+        phases.append(acc)
+    stacked = jnp.stack(phases, axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = even_len
+    out = stacked.reshape(shape)
+    if even_len != out_len:
+        sl = [slice(None)] * out.ndim
+        sl[axis] = slice(0, out_len)
+        out = out[tuple(sl)]
+    return out
+
+
 def _fir_axis(x, taps, off, out_len, down, axis):
     """out[i] = sum_t taps[t] * x[off + t + i*down] along ``axis`` (static)."""
     acc = None
@@ -174,11 +209,16 @@ def _kernel(x_hbm, out_ref, scratch, sem, *, up, down, kcol, krow, off, tile_h, 
     dma.wait()
 
     x = scratch[:].astype(jnp.float32)  # [tin, win, c]
-    # vertical: stuff rows, FIR, decimate -> [tile_h, win, c].
     # tile_h*down % up == 0 makes the per-tile phase static and equal to off.
-    xv = _stuff(x, up, axis=0)
-    v = _fir_axis(xv, kcol, off, tile_h, down, axis=0)
-    # horizontal: stuff cols, FIR, decimate -> [tile_h, w_out, c]
-    vh = _stuff(v, up, axis=1)
-    o = _fir_axis(vh, krow, off, w_out, down, axis=1)
+    if up == 2 and down == 1:
+        # per-phase 2x upsampling FIR: no stuffed intermediates
+        v = _fir_axis_up2(x, kcol, off, tile_h, axis=0)
+        o = _fir_axis_up2(v, krow, off, w_out, axis=1)
+    else:
+        # vertical: stuff rows, FIR, decimate -> [tile_h, win, c]
+        xv = _stuff(x, up, axis=0)
+        v = _fir_axis(xv, kcol, off, tile_h, down, axis=0)
+        # horizontal: stuff cols, FIR, decimate -> [tile_h, w_out, c]
+        vh = _stuff(v, up, axis=1)
+        o = _fir_axis(vh, krow, off, w_out, down, axis=1)
     out_ref[0] = o.astype(out_ref.dtype)
