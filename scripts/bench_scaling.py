@@ -23,20 +23,22 @@ def build(batch, res=256, case=1):
         enc_vars = jax.jit(enc.init)({"params":key,"noise":key}, jnp.zeros((1,res,res,3)))
     coefs = lreq_coef_tree(enc_vars["params"], enc_vars["lreq"])
     opt = lreq_adam(0.0015, coefs=coefs)
-    synth, resynth = build_stylegan1_pipeline(gen, gm, gen_vars, gm_vars, lod=lc-1)
+    synth, resynth, frozen = build_stylegan1_pipeline(gen, gm, gen_vars, gm_vars, lod=lc-1)
     step = make_train_step(
         encode=make_encode_fn(enc, {k:v for k,v in enc_vars.items() if k!="params"}),
         synth=synth, resynth=resynth, optimizer=opt, z_dim=512,
         batch_size=batch, case=case)
-    return jax.jit(step), init_train_state(enc_vars["params"], opt)
+    from tpugan.runtime import to_accelerator
+    return (jax.jit(step), to_accelerator(init_train_state(enc_vars["params"], opt)),
+            to_accelerator(frozen))
 
 for case in (1, 2):
     for batch in (2, 8, 32):
-        step, state = build(batch, 256, case)
-        state, _ = step(state, jnp.int32(0)); jax.block_until_ready(state)
+        step, state, frozen = build(batch, 256, case)
+        state, _ = step(state, jnp.int32(0), frozen); jax.block_until_ready(state)
         t0=time.perf_counter()
         n = 20
-        for i in range(n): state, _ = step(state, jnp.int32(i))
+        for i in range(n): state, _ = step(state, jnp.int32(i), frozen)
         jax.block_until_ready(state)
         dt=(time.perf_counter()-t0)/n
         print(json.dumps({"case":case,"batch":batch,"ms_per_step":round(dt*1e3,1),

@@ -52,13 +52,13 @@ def main():
     coefs = lreq_coef_tree(evars["params"], evars["lreq"])
     opt = lreq_adam(0.0015, coefs=coefs)
 
-    def synth(k, z):
-        out = gen.apply(gvars, z, trunc_psi=0.7, trunc_layers=8)
-        const1 = jnp.repeat(gvars["params"]["synthesis"]["const"], z.shape[0], axis=0)
+    def synth(frozen, k, z):
+        out = gen.apply(frozen, z, trunc_psi=0.7, trunc_layers=8)
+        const1 = jnp.repeat(frozen["params"]["synthesis"]["const"], z.shape[0], axis=0)
         return SynthBatch(w1=out["wp"], imgs1=out["image"], const1=const1)
 
-    def resynth(w, b, k):
-        return gen.apply(gvars, w, method=gen.synthesize)["image"]
+    def resynth(frozen, w, b, k):
+        return gen.apply(frozen, w, method=gen.synthesize)["image"]
 
     step = make_train_step(
         encode=make_encode_fn(enc, {k_: v for k_, v in evars.items() if k_ != "params"}),
@@ -70,17 +70,20 @@ def main():
         case=2,
         remat=args.remat,
     )
-    state = init_train_state(evars["params"], opt)
+    from tpugan.runtime import to_accelerator
+
+    state = to_accelerator(init_train_state(evars["params"], opt))
+    frozen = to_accelerator(gvars)
     jitted = jax.jit(step)
 
     t0 = time.time()
-    state, info = jitted(state, jnp.int32(0))
+    state, info = jitted(state, jnp.int32(0), frozen)
     jax.block_until_ready(state)
     print(f"compile+first step: {time.time()-t0:.0f}s", flush=True)
 
     t0 = time.perf_counter()
     for i in range(args.iters):
-        state, info = jitted(state, jnp.int32(i))
+        state, info = jitted(state, jnp.int32(i), frozen)
     jax.block_until_ready(state)
     dt = (time.perf_counter() - t0) / args.iters
     print(
