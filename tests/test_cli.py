@@ -218,3 +218,24 @@ def test_e_mis_align_cli(tmp_path):
     lines = open(os.path.join(exp, "Loss.txt")).read().strip().splitlines()
     rec = json.loads(lines[-1])
     assert np.isfinite(rec["loss_mask_mse"]) and np.isfinite(rec["loss_gcam_mse"])
+
+
+def test_synthesize_cli_biggan(tmp_path):
+    from tpugan.cli.synthesize import main
+    from tpugan.models import BigGANConfig
+
+    cfg = BigGANConfig(
+        output_dim=16, z_dim=8, class_embed_dim=8, channel_width=4,
+        num_classes=10,
+        layers=[(False, 16, 16), (True, 16, 8), (False, 8, 4), (True, 4, 2), (False, 2, 1)],
+        attention_layer_position=1,
+    )
+    cfg_path = str(tmp_path / "biggan.json")
+    open(cfg_path, "w").write(cfg.to_json_string())
+    exp = str(tmp_path / "exp_syn4")
+    main(
+        ["--mtype", "4", "--img_size", "16", "--z_dim", "8", "--random_init",
+         "--batch_size", "2", "--count", "1", "--start_features", "128",
+         "--config_dir", cfg_path, "--experiment_dir", exp]
+    )
+    assert "seed30000.png" in os.listdir(os.path.join(exp, "imgs"))
