@@ -42,3 +42,22 @@ def test_upfirdn2d_pallas_tiled(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
     finally:
         mod._pick_tile_h = orig
+
+
+@pytest.mark.parametrize(
+    "taps,pad,shape",
+    [
+        ((1, 2, 1), (1, 1), (2, 16, 16, 16)),
+        ((1, 3, 3, 1), (2, 1), (1, 32, 24, 8)),
+        ((1, 2, 1), (1, 1), (2, 9, 11, 4)),
+    ],
+)
+def test_upfirdn2d_small_c_matches_xla(rng, taps, pad, shape):
+    """Flat-lane small-channel path (same-size FIR)."""
+    from tpugan.ops.pallas.upfirdn2d import upfirdn2d_pallas_small_c
+
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    k = setup_fir_kernel(taps)
+    ref = _upfirdn2d_xla(x, k, 1, 1, pad, 1.0)
+    got = upfirdn2d_pallas_small_c(x, k, pad=pad, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)

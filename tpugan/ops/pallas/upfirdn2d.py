@@ -111,6 +111,86 @@ def upfirdn2d_pallas(
     return out[:, :h_out] if n_tiles * tile_h != h_out else out
 
 
+def upfirdn2d_pallas_small_c(
+    x: jax.Array,
+    kernel: jax.Array,
+    pad: tuple[int, int] = (0, 0),
+    interpret: bool = False,
+) -> jax.Array:
+    """Same-size FIR (up = down = 1) for small channel counts.
+
+    The lane-tiled layout rejects C % 128 != 0, but for a same-size filter
+    the (W, C) dims can be viewed as ONE flat lane dim (free reshape):
+    horizontal taps become lane shifts by multiples of C. This is the hot
+    E_Blur path at 1024^2 x 16 where XLA's depthwise conv runs at ~34 GB/s.
+    Requires 128 % C == 0 so the flat width pads to lane alignment.
+    """
+    n, h, w, c = x.shape
+    kh, kw = kernel.shape
+    assert kh == kw <= 8 and 128 % c == 0
+    pad0, pad1 = pad
+    h_out = h + pad0 + pad1 - kh + 1
+    w_out = w + pad0 + pad1 - kw + 1
+    assert h_out > 0 and w_out > 0
+
+    tile_h = _pick_tile_h(h_out, w, c, x.dtype, 1, 1)
+    # rows are the sublane dim in the flat 2-D layout: the DMA'd row count
+    # must be 8-aligned (offsets are, since tile_h is a multiple of 8)
+    tin = _round_up(tile_h + kh - 1, 8)
+    n_tiles = _cdiv(h_out, tile_h)
+    ph1 = max(0, (n_tiles - 1) * tile_h + tin - (h + pad0))
+    pw1 = max(0, w_out + kw - 1 - (w + pad0))
+    pw1 += (-((w + pad0 + pw1) * c)) % 128 // c  # flat lane alignment
+
+    xp = jnp.pad(x, ((0, 0), (pad0, ph1), (pad0, pw1), (0, 0)))
+    win = xp.shape[2]
+    flat = xp.reshape(n, xp.shape[1], win * c)
+
+    kcol, krow = _separate(np.asarray(jax.device_get(kernel), dtype=np.float32))
+    fn = functools.partial(
+        _kernel_small_c, kcol=kcol, krow=krow, w_out=w_out, c=c
+    )
+    out = pl.pallas_call(
+        fn,
+        grid=(n, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w_out * c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles * tile_h, w_out * c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tin, win * c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(flat)
+    out = out[:, :h_out] if n_tiles * tile_h != h_out else out
+    return out.reshape(n, h_out, w_out, c)
+
+
+def _kernel_small_c(x_hbm, out_ref, scratch, sem, *, kcol, krow, w_out, c):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile_h = out_ref.shape[1]
+    tin = scratch.shape[0]
+    dma = pltpu.make_async_copy(x_hbm.at[i, pl.ds(j * tile_h, tin)], scratch, sem)
+    dma.start()
+    dma.wait()
+    x = scratch[:].astype(jnp.float32)  # [tin, win*c]
+    # vertical taps on rows
+    v = None
+    for t, kt in enumerate(kcol):
+        piece = x[t : t + tile_h] * kt
+        v = piece if v is None else v + piece
+    # horizontal taps: lane shifts by multiples of c
+    o = None
+    for t, kt in enumerate(krow):
+        piece = v[:, t * c : (t + w_out) * c] * kt
+        o = piece if o is None else o + piece
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
 def _pick_tile_h(h_out, w, c, dtype, up, down, budget=24 * 1024 * 1024):
     """Row-tile size: multiple of 8 (sublane alignment, covers lcm(up, down)),
     sized to a VMEM budget."""

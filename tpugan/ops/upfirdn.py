@@ -82,18 +82,25 @@ def _upfirdn2d_impl(x, kernel, up, down, pad, gain, use_pallas):
     # (e.g. passed as a jit argument) takes the XLA path. Measured on v5e:
     # pallas wins blur/down2 (1.9x) and, with the per-phase formulation,
     # up2 as well (1.5-1.9x).
+    c = x.shape[-1]
     if (
         use_pallas
         and not isinstance(kernel, jax.core.Tracer)
-        and (up, down) in ((1, 1), (1, 2), (2, 1))
         and min(pad) >= 0
         and kernel.shape[0] == kernel.shape[1] <= 8
-        and x.shape[-1] % 128 == 0  # lane-aligned channel count
     ):
-        from tpugan.ops.pallas.upfirdn2d import upfirdn2d_pallas
+        if (up, down) in ((1, 1), (1, 2), (2, 1)) and c % 128 == 0:
+            from tpugan.ops.pallas.upfirdn2d import upfirdn2d_pallas
 
-        out = upfirdn2d_pallas(x, kernel, up=up, down=down, pad=pad)
-        return out * gain if gain != 1.0 else out
+            out = upfirdn2d_pallas(x, kernel, up=up, down=down, pad=pad)
+            return out * gain if gain != 1.0 else out
+        if (up, down) == (1, 1) and 128 % c == 0:
+            # small channel counts: flat (W, C) lane layout — the hot
+            # E_Blur path at 1024^2 x 16 (XLA depthwise ~34 GB/s there)
+            from tpugan.ops.pallas.upfirdn2d import upfirdn2d_pallas_small_c
+
+            out = upfirdn2d_pallas_small_c(x, kernel, pad=pad)
+            return out * gain if gain != 1.0 else out
     return _upfirdn2d_xla(x, kernel, up, down, pad, gain)
 
 
