@@ -25,18 +25,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def setup_fir_kernel(taps) -> jnp.ndarray:
+def setup_fir_kernel(taps) -> np.ndarray:
     """Build a normalized 2-D FIR kernel from 1-D taps (outer product).
 
     e.g. (1, 2, 1) -> 3x3 binomial / 16 (the reference Blur,
     net.py:51-54); (1, 3, 3, 1) -> the StyleGAN2 resample kernel
     (stylegan2_generator.py:389, 566-571).
+
+    Returns NUMPY: jax 0.9 turns jnp constants created inside a trace into
+    Tracers, which would silently disable the concrete-taps Pallas dispatch.
     """
     k = np.asarray(taps, dtype=np.float32)
     if k.ndim == 1:
         k = np.outer(k, k)
-    k = k / k.sum()
-    return jnp.asarray(k)
+    return k / k.sum()
 
 
 def _use_pallas(explicit: bool | None) -> bool:
@@ -68,24 +70,76 @@ def upfirdn2d(
     Differentiable: the backward pass is itself an upfirdn2d with flipped
     taps and swapped up/down factors (custom VJP, so the Pallas forward is
     trainable).
+
+    The kernel taps must be concrete for the Pallas path (they are model
+    constants everywhere); a traced kernel falls back to XLA. The taps are
+    baked into a cached custom_vjp op — passing the kernel as a custom_vjp
+    *argument* would trace it and silently disable the Pallas dispatch.
     """
-    return _upfirdn2d(x, kernel, up, down, tuple(pad), float(gain), _use_pallas(use_pallas))
+    if isinstance(kernel, jax.core.Tracer):
+        return _upfirdn2d_xla(x, kernel, up, down, tuple(pad), float(gain))
+    taps = np.asarray(jax.device_get(kernel), dtype=np.float32)
+    assert taps.ndim == 2
+    op = _cached_op(
+        taps.tobytes(), taps.shape, up, down, tuple(pad), float(gain),
+        _use_pallas(use_pallas),
+    )
+    return op(x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _upfirdn2d(x, kernel, up, down, pad, gain, use_pallas):
-    return _upfirdn2d_impl(x, kernel, up, down, pad, gain, use_pallas)
+@functools.lru_cache(maxsize=256)
+def _cached_op(taps_bytes, kshape, up, down, pad, gain, use_pallas):
+    """Build a custom_vjp op with the concrete taps closed over."""
+    # numpy (not jnp): constants built during tracing become tracers in
+    # jax 0.9 and would poison the lru cache across traces
+    kernel = np.frombuffer(taps_bytes, np.float32).reshape(kshape)
+    kflip = kernel[::-1, ::-1].copy()
+    kh, kw = kshape
+
+    @jax.custom_vjp
+    def op(x):
+        return _dispatch(x, kernel, up, down, pad, gain, use_pallas)
+
+    def fwd(x):
+        out = op(x)
+        return out, (x.shape[1], x.shape[2], out.shape[1], out.shape[2])
+
+    def bwd(res, g):
+        h, w, gh, gw = res
+        # adjoint: stuff grad by ``down``, correlate with flipped taps,
+        # decimate by ``up``; pads give exactly the input size back
+        p0 = kh - 1 - pad[0]
+        p1h = (h - 1) * up + 1 + pad[0] - gh * down
+        p1w = (w - 1) * up + 1 + pad[0] - gw * down
+        if p1h == p1w:
+            dx = _dispatch(g, kflip, down, up, (p0, p1h), gain, use_pallas)
+        else:  # non-square fallback: XLA with per-dim pads
+            c = g.shape[-1]
+            rhs = jnp.tile(
+                (kflip * gain).astype(g.dtype)[:, :, None, None], (1, 1, 1, c)
+            )
+            dx = jax.lax.conv_general_dilated(
+                g,
+                rhs,
+                window_strides=(up, up),
+                padding=((p0, p1h + down - 1), (p0, p1w + down - 1)),
+                lhs_dilation=(down, down),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return (dx,)
+
+    op.defvjp(fwd, bwd)
+    return op
 
 
-def _upfirdn2d_impl(x, kernel, up, down, pad, gain, use_pallas):
-    # The Pallas kernel specialises on concrete taps; a traced kernel array
-    # (e.g. passed as a jit argument) takes the XLA path. Measured on v5e:
-    # pallas wins blur/down2 (1.9x) and, with the per-phase formulation,
-    # up2 as well (1.5-1.9x).
+def _dispatch(x, kernel, up, down, pad, gain, use_pallas):
+    # Measured on v5e: pallas wins blur/down2 (1.9x), per-phase up2
+    # (1.5-1.9x), and the flat-lane small-C same-size path (1.4-2.1x).
     c = x.shape[-1]
     if (
         use_pallas
-        and not isinstance(kernel, jax.core.Tracer)
         and min(pad) >= 0
         and kernel.shape[0] == kernel.shape[1] <= 8
     ):
@@ -102,41 +156,6 @@ def _upfirdn2d_impl(x, kernel, up, down, pad, gain, use_pallas):
             out = upfirdn2d_pallas_small_c(x, kernel, pad=pad)
             return out * gain if gain != 1.0 else out
     return _upfirdn2d_xla(x, kernel, up, down, pad, gain)
-
-
-def _upfirdn2d_fwd(x, kernel, up, down, pad, gain, use_pallas):
-    out = _upfirdn2d_impl(x, kernel, up, down, pad, gain, use_pallas)
-    return out, (kernel, x.shape[1], x.shape[2], out.shape[1], out.shape[2])
-
-
-def _upfirdn2d_bwd(up, down, pad, gain, use_pallas, res, g):
-    kernel, h, w, gh, gw = res
-    kh, kw = kernel.shape
-    # adjoint: stuff grad by ``down``, correlate with flipped taps, decimate
-    # by ``up``; pads chosen so the output size equals the input size exactly
-    p0 = kh - 1 - pad[0]
-    p1h = (h - 1) * up + 1 + pad[0] - gh * down
-    p1w = (w - 1) * up + 1 + pad[0] - gw * down
-    kflip = jnp.flip(kernel, axis=(0, 1))
-    if p1h == p1w:
-        dx = _upfirdn2d_impl(g, kflip, down, up, (p0, p1h), gain, use_pallas)
-    else:  # non-square fallback: run XLA with per-dim pads
-        c = g.shape[-1]
-        rhs = jnp.tile((kflip * gain).astype(g.dtype)[:, :, None, None], (1, 1, 1, c))
-        dx = jax.lax.conv_general_dilated(
-            g,
-            rhs,
-            window_strides=(up, up),
-            padding=((p0, p1h + down - 1), (p0, p1w + down - 1)),
-            lhs_dilation=(down, down),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    return dx, jnp.zeros_like(kernel)
-
-
-_upfirdn2d.defvjp(_upfirdn2d_fwd, _upfirdn2d_bwd)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
