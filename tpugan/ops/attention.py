@@ -17,6 +17,9 @@ import jax.numpy as jnp
 
 
 def _use_pallas(explicit: bool | None) -> bool:
+    # attention stays ON by default: unlike the FIR kernels it wins in
+    # context too (979us vs 1221us at BigGAN-256 shapes) because the score
+    # matrix materialisation is what XLA cannot fuse away
     if explicit is not None:
         return explicit
     if os.environ.get("TPUGAN_PALLAS", "").lower() in ("0", "false", "off"):
