@@ -95,11 +95,11 @@ def _tiny_inversion_setup(optimize_e):
     def encode(params, imgs):
         return enc.apply({**enc_extra, "params": params}, imgs, rngs={"noise": key})
 
-    def resynth(w):
-        return gen.apply(gen_vars, w, rngs={"noise": key})
+    def resynth(frozen, w):
+        return gen.apply(frozen, w, rngs={"noise": key})
 
     cfg = EmbeddingConfig(iterations=20, chunk=10, lr=0.01, optimize_e=optimize_e)
-    invert = make_embedder(encode, resynth, enc_vars["params"], coefs, cfg)
+    invert = make_embedder(encode, resynth, enc_vars["params"], coefs, cfg, frozen=gen_vars)
 
     # target: a synthetic image from the generator itself
     w_true = jax.random.normal(jax.random.PRNGKey(5), (1, 6, latent))
@@ -140,11 +140,14 @@ def test_inversion_gradcam_attention():
     def encode(params, imgs):
         return enc.apply({**enc_extra, "params": params}, imgs, rngs={"noise": key})
 
-    def resynth(w):
-        return gen.apply(gen_vars, w, rngs={"noise": key})
+    def resynth(frozen, w):
+        return gen.apply(frozen, w, rngs={"noise": key})
 
     cfg = EmbeddingConfig(iterations=10, chunk=5, lr=0.01, optimize_e=False, attention="gradcam")
-    invert = make_embedder(encode, resynth, enc_vars["params"], coefs, cfg, vgg=vgg, vgg_vars=vgg_vars)
+    invert = make_embedder(
+        encode, resynth, enc_vars["params"], coefs, cfg,
+        vgg=vgg, vgg_vars=vgg_vars, frozen=gen_vars,
+    )
     target = gen.apply(gen_vars, jax.random.normal(jax.random.PRNGKey(5), (1, 6, latent)), rngs={"noise": key})
     result = invert(target)
     assert np.isfinite(float(result.losses[-1][0]))

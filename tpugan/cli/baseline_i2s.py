@@ -7,6 +7,13 @@ the pure per-image w-optimization (no encoder at all): w initialised at
 zero (or the mapping mean), MSE+perceptual objective, Adam.
 
 ``python -m tpugan.cli.baseline_i2s --mtype 1 --img_dir ./faces ...``
+
+Note: with ``--random_init`` the loss goes NaN by design of the task, not a
+framework bug — an untrained G emits exactly-zero activations at w=0 (noise
+weights and biases init at 0, so instance-norm of the constant input zeroes
+everything), and each IN at zero spatial variance amplifies the backward by
+~1/sqrt(eps); past ~4 blocks that overflows fp32. The torch reference has
+the identical degeneracy. Real (trained) checkpoints never hit it.
 """
 
 from __future__ import annotations
@@ -36,18 +43,20 @@ def main(argv=None):
 
     bundle = build_bundle(args)
 
-    def resynth(w):
-        return bundle.resynth(bundle.frozen, w, None, jax.random.PRNGKey(0))
+    def resynth(frozen, w):
+        return bundle.resynth(frozen, w, None, jax.random.PRNGKey(0))
 
     opt = optax.adam(args.lr)
 
+    # frozen G weights ride as jit arguments (device buffers), not baked
+    # program constants — keeps the compile payload small at 1024²
     @jax.jit
-    def run_opt(w, opt_state, target):
+    def run_opt(w, opt_state, target, frozen):
         def one(carry, _):
             w, opt_state = carry
 
             def loss_fn(w):
-                rec = resynth(w)
+                rec = resynth(frozen, w)
                 l, _ = space_loss(target, rec)
                 return l
 
@@ -68,8 +77,8 @@ def main(argv=None):
         w = jnp.zeros((1, bundle.num_style_layers, 512))
         opt_state = opt.init(w)
         for _ in range(max(1, args.iterations // 100)):
-            w, opt_state, loss = run_opt(w, opt_state, target)
-        rec = resynth(w)
+            w, opt_state, loss = run_opt(w, opt_state, target, bundle.frozen)
+        rec = resynth(bundle.frozen, w)
         np.save(os.path.join(models_dir, f"{g:05d}_w.npy"), np.asarray(w[0]))
         save_image(
             os.path.join(imgs_dir, f"{g:05d}_rec.png"),

@@ -51,8 +51,8 @@ def main(argv=None):
             rngs={"noise": jax.random.PRNGKey(0)},
         )
 
-    def resynth(w):
-        return bundle.resynth(bundle.frozen, w, None, jax.random.PRNGKey(0))
+    def resynth(frozen, w):
+        return bundle.resynth(frozen, w, None, jax.random.PRNGKey(0))
 
     vgg = vgg_vars = None
     if args.gradcam:
@@ -80,7 +80,7 @@ def main(argv=None):
     )
     invert = make_embedder(
         encode, resynth, bundle.enc_vars["params"], coefs, cfg,
-        vgg=vgg, vgg_vars=vgg_vars,
+        vgg=vgg, vgg_vars=vgg_vars, frozen=bundle.frozen,
     )
 
     images = load_image_dir(args.img_dir, args.img_size)

@@ -30,20 +30,21 @@ def main(argv=None):
     bundle = build_bundle(args)
     enc_extra = {k: v for k, v in bundle.enc_vars.items() if k != "params"}
 
+    # weights as jit arguments, not closure-captured program constants
     @jax.jit
-    def reconstruct(imgs):
+    def reconstruct(imgs, enc_params, frozen):
         _, w = bundle.encoder.apply(
-            {**enc_extra, "params": bundle.enc_vars["params"]}, imgs,
+            {**enc_extra, "params": enc_params}, imgs,
             rngs={"noise": jax.random.PRNGKey(0)},
         )
-        return bundle.resynth(bundle.frozen, w, None, jax.random.PRNGKey(0)), w
+        return bundle.resynth(frozen, w, None, jax.random.PRNGKey(0)), w
 
     images = from_unit(load_image_dir(args.img_dir, args.img_size))
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, f"mtype{args.mtype}-rec")
     bs = args.batch_size
     for g in range(len(images) // bs):
         batch = jnp.asarray(images[g * bs : (g + 1) * bs])
-        rec, w = reconstruct(batch)
+        rec, w = reconstruct(batch, bundle.enc_vars["params"], bundle.frozen)
         for i in range(bs):
             save_image(
                 os.path.join(imgs_dir, f"{g * bs + i:05d}_real.png"),

@@ -21,7 +21,7 @@ syncs 15 times per image instead of ~10^4.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -58,38 +58,43 @@ class InversionResult(NamedTuple):
 
 def make_embedder(
     encode: Callable[[Any, jax.Array], tuple[jax.Array, jax.Array]],
-    resynth: Callable[[jax.Array], jax.Array],
+    resynth: Callable[[Any, jax.Array], jax.Array],
     base_enc_params: Any,
     enc_coefs: Any,
     cfg: EmbeddingConfig,
     lpips_fn=None,
-    const1: Optional[jax.Array] = None,
     vgg=None,
     vgg_vars=None,
+    frozen: Any = None,
 ):
     """Build ``invert(imgs) -> InversionResult`` for one image batch.
 
     ``encode(params, imgs) -> (const_features, w)`` — the encoder apply;
-    ``resynth(w) -> imgs`` — the frozen generator;
+    ``resynth(frozen, w) -> imgs`` — the frozen generator, taking its
+    weight pytree as an argument;
     ``base_enc_params`` — the trained E weights (reloaded per batch);
-    ``enc_coefs`` — LREQAdam coefficient pytree for E.
+    ``enc_coefs`` — LREQAdam coefficient pytree for E;
+    ``frozen`` — the generator weight pytree, threaded through the jitted
+    chunk as an *argument* (device buffers), never closure-captured: baked
+    weight constants inflate the compiled program upload past remote-compile
+    payload limits for the 1024² models.
     """
 
-    def iteration_losses(opt_target, imgs1, const2_fixed):
+    def iteration_losses(opt_target, imgs1, const2_fixed, base_params, frozen_w, vgg_w):
         if cfg.optimize_e:
             const2, w1 = encode(opt_target, imgs1)
         else:
             w1 = opt_target
             const2 = const2_fixed  # encoded once per batch (:77)
-        imgs2 = resynth(w1)
-        const3, w2 = encode(base_enc_params, imgs2)
+        imgs2 = resynth(frozen_w, w1)
+        const3, w2 = encode(base_params, imgs2)
 
         l_imgs, i_imgs = space_loss(imgs1, imgs2, lpips_fn=lpips_fn)
         if cfg.attention == "gradcam":
             from tpugan.losses.gradcam import grad_cam, mask2cam
 
-            m1 = grad_cam(vgg, vgg_vars, jax.lax.stop_gradient(imgs1), plus_plus=True)
-            m2 = grad_cam(vgg, vgg_vars, jax.lax.stop_gradient(imgs2), plus_plus=True)
+            m1 = grad_cam(vgg, vgg_w, jax.lax.stop_gradient(imgs1), plus_plus=True)
+            m2 = grad_cam(vgg, vgg_w, jax.lax.stop_gradient(imgs2), plus_plus=True)
             _, cam1 = mask2cam(m1, jax.lax.stop_gradient(imgs1))
             _, cam2 = mask2cam(m2, jax.lax.stop_gradient(imgs2))
             l_med, _ = space_loss(
@@ -119,30 +124,34 @@ def make_embedder(
 
     opt = lreq_adam(cfg.lr, coefs=enc_coefs if cfg.optimize_e else None, beta2=cfg.beta2)
 
-    def one_iteration(carry, _):
-        target, opt_state, imgs1, const2_fixed = carry
-
-        def msiv(t):
-            a, b, aux = iteration_losses(t, imgs1, const2_fixed)
-            return a, (b, aux)
-
-        (l_msiv, (l_mslv_probe, aux)), g1 = jax.value_and_grad(msiv, has_aux=True)(target)
-        updates, opt_state = opt.update(g1, opt_state, target)
-        target = optax.apply_updates(target, updates)
-
-        def mslv(t):
-            _, b, _ = iteration_losses(t, imgs1, const2_fixed)
-            return b
-
-        l_mslv, g2 = jax.value_and_grad(mslv)(target)
-        updates, opt_state = opt.update(g2, opt_state, target)
-        target = optax.apply_updates(target, updates)
-        return (target, opt_state, imgs1, const2_fixed), (l_msiv, l_mslv)
-
     @jax.jit
-    def run_chunk(target, opt_state, imgs1, const2_fixed):
-        (target, opt_state, _, _), hist = jax.lax.scan(
-            one_iteration, (target, opt_state, imgs1, const2_fixed), None, length=cfg.chunk
+    def run_chunk(target, opt_state, imgs1, const2_fixed, base_params, frozen_w, vgg_w):
+        def one_iteration(carry, _):
+            target, opt_state = carry
+
+            def msiv(t):
+                a, b, aux = iteration_losses(
+                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w
+                )
+                return a, (b, aux)
+
+            (l_msiv, _), g1 = jax.value_and_grad(msiv, has_aux=True)(target)
+            updates, opt_state = opt.update(g1, opt_state, target)
+            target = optax.apply_updates(target, updates)
+
+            def mslv(t):
+                _, b, _ = iteration_losses(
+                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w
+                )
+                return b
+
+            l_mslv, g2 = jax.value_and_grad(mslv)(target)
+            updates, opt_state = opt.update(g2, opt_state, target)
+            target = optax.apply_updates(target, updates)
+            return (target, opt_state), (l_msiv, l_mslv)
+
+        (target, opt_state), hist = jax.lax.scan(
+            one_iteration, (target, opt_state), None, length=cfg.chunk
         )
         return target, opt_state, hist
 
@@ -158,14 +167,16 @@ def make_embedder(
         history = []
         n_chunks = max(1, cfg.iterations // cfg.chunk)
         for _ in range(n_chunks):
-            target, opt_state, hist = run_chunk(target, opt_state, imgs1, const2_fixed)
+            target, opt_state, hist = run_chunk(
+                target, opt_state, imgs1, const2_fixed, base_enc_params, frozen, vgg_vars
+            )
             history.append(jax.tree.map(lambda h: h[-1], hist))
 
         if cfg.optimize_e:
             _, w_final = encode(target, imgs1)
         else:
             w_final = target
-        imgs_rec = resynth(w_final)
+        imgs_rec = resynth(frozen, w_final)
         return InversionResult(w=w_final, images=imgs_rec, losses=history)
 
     return invert

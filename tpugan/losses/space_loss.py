@@ -78,10 +78,13 @@ def space_loss(
     kl = _kl_quirk(a, b)
 
     af, bf = a.reshape(-1), b.reshape(-1)
-    # tiny-denominator guard: 0/0 on degenerate (all-constant) inputs would
-    # poison the total; identical to the reference for any real input
-    denom = jnp.sqrt(jnp.dot(af, af)) * jnp.sqrt(jnp.dot(bf, bf))
-    cosine = 1.0 - jnp.dot(af, bf) / jnp.maximum(denom, 1e-12)
+    # epsilon INSIDE the sqrt: clamping only the product would leave
+    # d||x||/dx = x/||x|| = 0/0 -> NaN gradients on an exactly-zero input
+    # (a randomly initialised G emits exactly 0 at w=0 because noise weights
+    # and biases start at 0); 1e-12 is below fp32 resolution for any real
+    # image/latent norm, so trained-model values are bit-identical
+    denom = jnp.sqrt(jnp.dot(af, af) + 1e-12) * jnp.sqrt(jnp.dot(bf, bf) + 1e-12)
+    cosine = 1.0 - jnp.dot(af, bf) / denom
 
     if image_space:
         while a.shape[1] > 256:
