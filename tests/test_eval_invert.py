@@ -152,3 +152,39 @@ def test_inversion_gradcam_attention():
     result = invert(target)
     assert np.isfinite(float(result.losses[-1][0]))
     assert float(result.losses[-1][0]) < float(result.losses[0][0])
+
+
+def test_ssim_separable_matches_direct_2d(rng):
+    """losses.ssim's separable two-pass blur == the reference's 2-D conv."""
+    import jax.numpy as jnp_
+    from tpugan.losses.ssim import _gaussian_window, ssim as ssim_sep
+
+    def ssim_direct(img1, img2, window_size=11, sigma=1.5):
+        window = jnp_.asarray(_gaussian_window(window_size, sigma))
+        pad = window_size // 2
+        c = img1.shape[-1]
+        rhs = jnp_.tile(window[:, :, None, None], (1, 1, 1, c)).astype(img1.dtype)
+
+        def filt(x):
+            return jax.lax.conv_general_dilated(
+                x, rhs, (1, 1), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+            )
+
+        mu1, mu2 = filt(img1), filt(img2)
+        mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        s1 = filt(img1 * img1) - mu1_sq
+        s2 = filt(img2 * img2) - mu2_sq
+        s12 = filt(img1 * img2) - mu1_mu2
+        c1, c2 = 0.01**2, 0.03**2
+        m = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
+        )
+        return jnp_.mean(m)
+
+    a = jnp_.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    b = jnp_.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    np.testing.assert_allclose(
+        float(ssim_sep(a, b)), float(ssim_direct(a, b)), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(float(ssim_sep(a, a)), 1.0, atol=1e-5)
