@@ -1,14 +1,26 @@
-"""Benchmark harness: flagship encoder-training throughput.
+"""Benchmark harness: training throughput with MFU accounting.
 
-Measures the full case-1 E_align training step (StyleGANv1 Cat256 config:
---mtype 1, --start_features 64, batch 2 — BASELINE.md) on the current
-accelerator and prints ONE JSON line:
+Measures (on the current accelerator):
+  1. flagship case-1 E_align train step (StyleGANv1 Cat256: --mtype 1,
+     --start_features 64) at the reference's batch 2 AND at the
+     best-throughput batch 32 (BASELINE.md batch-scaling table);
+  2. the StyleGANv2 FFHQ1024 case-2 E_Blur train step (--mtype 2,
+     --start_features 16) — the heavy config.
 
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line. The primary metric stays
+``e_align_train_images_per_sec_256`` for cross-round comparability; the
+additional metrics ride in the ``extra`` list. Every metric carries:
+  * ``mfu``: model FLOPs utilization = XLA-counted FLOPs/step (from
+    ``compiled.cost_analysis()``) / step time / chip peak. Peak is the
+    bf16 MXU peak for the detected chip (fp32 math, so this is the
+    honest headroom number, not a flattering fp32 denominator).
+  * ``flops_per_step`` and ``ms_per_step``.
 
 vs_baseline is the per-chip speedup over the same jitted step executed on
-the host CPU (measured once and cached in bench_baseline.json — the
-reference repo publishes no numbers to compare against, BASELINE.md).
+the host CPU (cached in bench_baseline.json — the reference repo publishes
+no numbers, BASELINE.md).
+
+Env: TPUGAN_BENCH_FAST=1 skips the batch-32 and SG2-1024 extras.
 """
 
 import json
@@ -34,8 +46,27 @@ STARTF = 64
 LATENT = 512
 BATCH = 2
 
+# bf16 MXU peak per chip (jax-ml.github.io/scaling-book numbers)
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # Trillium
+    "TPU v6e": 918e12,
+}
 
-def build_step():
+
+def chip_peak_flops():
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_FLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def build_sg1_step(batch):
     from tpugan.models import Encoder, StyleGANv1Generator, StyleGANv1Mapping
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -48,12 +79,12 @@ def build_step():
 
     key = jax.random.PRNGKey(0)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        gm_vars = jax.jit(gm.init)(key, jnp.zeros((BATCH, LATENT)))
+        gm_vars = jax.jit(gm.init)(key, jnp.zeros((batch, LATENT)))
         gen_vars = jax.jit(gen.init)(
-            {"params": key, "noise": key}, jnp.zeros((BATCH, 2 * LAYER_COUNT, LATENT))
+            {"params": key, "noise": key}, jnp.zeros((batch, 2 * LAYER_COUNT, LATENT))
         )
         enc_vars = jax.jit(enc.init)(
-            {"params": key, "noise": key}, jnp.zeros((BATCH, 256, 256, 3))
+            {"params": key, "noise": key}, jnp.zeros((batch, 256, 256, 3))
         )
 
     coefs_tree = lreq_coef_tree(enc_vars["params"], enc_vars["lreq"])
@@ -65,14 +96,54 @@ def build_step():
         resynth=resynth,
         optimizer=opt,
         z_dim=LATENT,
-        batch_size=BATCH,
+        batch_size=batch,
         case=1,
     )
     state = init_train_state(enc_vars["params"], opt)
     return step, state, frozen
 
 
-def time_step(step, state, frozen, iters, device=None):
+def build_sg2_step(batch=2, res=1024):
+    from tpugan.models import Encoder, StyleGAN2Generator
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.train import make_encode_fn, make_train_step
+    from tpugan.train.e_align import SynthBatch, init_train_state
+
+    startf = {128: 128, 256: 64, 512: 32, 1024: 16}[res]
+    layer_count = {128: 6, 256: 7, 512: 8, 1024: 9}[res]
+    gen = StyleGAN2Generator(resolution=res)
+    enc = Encoder(startf=startf, maxf=512, layer_count=layer_count, latent_size=512, use_blur=True)
+    key = jax.random.PRNGKey(0)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        gvars = jax.jit(gen.init)({"params": key}, jnp.zeros((1, 512)))
+        evars = jax.jit(enc.init)({"params": key, "noise": key}, jnp.zeros((1, res, res, 3)))
+
+    coefs = lreq_coef_tree(evars["params"], evars["lreq"])
+    opt = lreq_adam(0.0015, coefs=coefs)
+
+    def synth(frozen, k, z):
+        out = gen.apply(frozen, z, trunc_psi=0.7, trunc_layers=8)
+        const1 = jnp.repeat(frozen["params"]["synthesis"]["const"], z.shape[0], axis=0)
+        return SynthBatch(w1=out["wp"], imgs1=out["image"], const1=const1)
+
+    def resynth(frozen, w, b, k):
+        return gen.apply(frozen, w, method=gen.synthesize)["image"]
+
+    step = make_train_step(
+        encode=make_encode_fn(enc, {k_: v for k_, v in evars.items() if k_ != "params"}),
+        synth=synth,
+        resynth=resynth,
+        optimizer=opt,
+        z_dim=512,
+        batch_size=batch,
+        case=2,
+    )
+    state = init_train_state(evars["params"], opt)
+    return step, state, gvars
+
+
+def time_step(step, state, frozen, iters, device=None, want_flops=False):
     ctx = jax.default_device(device) if device is not None else _nullcontext()
     with ctx:
         jitted = jax.jit(step)
@@ -81,6 +152,14 @@ def time_step(step, state, frozen, iters, device=None):
         target = device or jax.devices()[0]
         state = jax.device_put(state, target)
         frozen = jax.device_put(frozen, target)
+        flops = None
+        if want_flops:
+            try:
+                compiled = jitted.lower(state, jnp.int32(0), frozen).compile()
+                cost = compiled.cost_analysis() or {}
+                flops = float(cost.get("flops", 0.0)) or None
+            except Exception:
+                flops = None
         state, info = jitted(state, jnp.int32(0), frozen)  # compile + warm
         jax.block_until_ready(state)
         t0 = time.perf_counter()
@@ -88,7 +167,7 @@ def time_step(step, state, frozen, iters, device=None):
             state, info = jitted(state, jnp.int32(i), frozen)
         jax.block_until_ready(state)
         dt = (time.perf_counter() - t0) / iters
-    return dt
+    return dt, flops
 
 
 class _nullcontext:
@@ -99,17 +178,32 @@ class _nullcontext:
         return False
 
 
-def main():
-    step, state, frozen = build_step()
+def metric_entry(name, batch, dt, flops, peak, unit="images/sec/chip"):
+    entry = {
+        "metric": name,
+        "value": round(batch / dt, 3),
+        "unit": unit,
+        "ms_per_step": round(dt * 1e3, 2),
+    }
+    if flops:
+        entry["flops_per_step"] = flops
+        if peak:
+            entry["mfu"] = round(flops / dt / peak, 4)
+    return entry
 
-    dt = time_step(step, state, frozen, iters=30)
-    steps_per_sec = 1.0 / dt
-    images_per_sec = BATCH * steps_per_sec
+
+def main():
+    fast = os.environ.get("TPUGAN_BENCH_FAST", "0") == "1"
+    peak = chip_peak_flops()
+
+    step, state, frozen = build_sg1_step(BATCH)
+    dt, flops = time_step(step, state, frozen, iters=30, want_flops=True)
+    images_per_sec = BATCH / dt
 
     if BASELINE_FILE.exists():
         cpu_images_per_sec = json.loads(BASELINE_FILE.read_text())["cpu_images_per_sec"]
     else:
-        cpu_dt = time_step(step, state, frozen, iters=2, device=jax.local_devices(backend="cpu")[0])
+        cpu_dt, _ = time_step(step, state, frozen, iters=2, device=jax.local_devices(backend="cpu")[0])
         cpu_images_per_sec = BATCH / cpu_dt
         BASELINE_FILE.write_text(
             json.dumps(
@@ -122,16 +216,37 @@ def main():
             )
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "e_align_train_images_per_sec_256",
-                "value": round(images_per_sec, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / cpu_images_per_sec, 3),
-            }
-        )
-    )
+    result = metric_entry("e_align_train_images_per_sec_256", BATCH, dt, flops, peak)
+    result["vs_baseline"] = round(images_per_sec / cpu_images_per_sec, 3)
+    result["dtype"] = "float32"
+    if peak:
+        result["peak_flops_bf16"] = peak
+        result["device_kind"] = jax.devices()[0].device_kind
+
+    extras = []
+    if not fast:
+        # best-throughput batch for the same config (BASELINE.md scaling)
+        try:
+            step32, state32, frozen32 = build_sg1_step(32)
+            dt32, flops32 = time_step(step32, state32, frozen32, iters=10, want_flops=True)
+            extras.append(
+                metric_entry("e_align_train_images_per_sec_256_b32", 32, dt32, flops32, peak)
+            )
+        except Exception as e:  # never lose the primary line
+            extras.append({"metric": "e_align_b32", "error": str(e)[:200]})
+        # flagship heavy config: SG2-1024 case-2 E_Blur
+        try:
+            step2, state2, frozen2 = build_sg2_step(batch=2, res=1024)
+            dt2, flops2 = time_step(step2, state2, frozen2, iters=8, want_flops=True)
+            extras.append(
+                metric_entry("e_blur_case2_train_images_per_sec_1024", 2, dt2, flops2, peak)
+            )
+        except Exception as e:
+            extras.append({"metric": "sg2_1024_case2", "error": str(e)[:200]})
+    if extras:
+        result["extra"] = extras
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

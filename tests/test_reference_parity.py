@@ -1,0 +1,553 @@
+"""Golden parity against the reference's OWN torch modules.
+
+SURVEY.md §4 calls for parity "against recorded activations from the
+PyTorch reference". These tests import the actual classes from
+/root/reference (StyleGANv1 Generator/Mapping, StyleGAN2Generator,
+PGGANGenerator, BigGAN, BE/BE_Blur/BE_PG/BE_BIG, LREQAdam), randomise
+their state dicts, run them through tpugan.io.convert, and assert
+full-model forward agreement <=1e-4 fp32. Noise injected inside the torch
+forwards (torch.randn) is recorded via a monkeypatch and replayed into the
+flax models' explicit ``noise`` arguments.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+REF = "/root/reference"
+if not os.path.isdir(REF):  # pragma: no cover
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+# biggan_file_utils imports boto3/requests/tqdm at module scope; none are
+# needed offline (and tqdm is a broken namespace package in this image).
+import importlib.machinery as _machinery
+
+
+def _stub_module(name):
+    mod = types.ModuleType(name)
+    mod.__spec__ = _machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
+for _name in ("boto3", "requests"):
+    sys.modules.setdefault(_name, _stub_module(_name))
+_botocore_exc = _stub_module("botocore.exceptions")
+_botocore_exc.ClientError = Exception
+sys.modules.setdefault("botocore", _stub_module("botocore"))
+sys.modules["botocore.exceptions"] = _botocore_exc
+_tqdm = _stub_module("tqdm")
+_tqdm.tqdm = lambda *a, **k: (a[0] if a else None)
+sys.modules["tqdm"] = _tqdm
+
+import jax
+import jax.numpy as jnp
+
+from tpugan.io import convert
+
+pytestmark = pytest.mark.parity
+
+
+def to_nchw(x):
+    return np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+
+def to_nhwc(t):
+    return jnp.asarray(np.transpose(t.detach().numpy(), (0, 2, 3, 1)))
+
+
+def seed_state(model, seed, std=0.3, include_buffers=True):
+    """Fill every parameter (and float buffer) with seeded N(0, std).
+
+    Fixed-function buffers (the binomial Blur taps, net.py:48-58) are left
+    alone — they are constants of the architecture, not weights.
+    """
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g, dtype=torch.float32) * std)
+        if include_buffers:
+            for name, b in model.named_buffers():
+                # blur taps / FIR kernels are architecture constants
+                if name.endswith("blur.weight") or name.endswith("kernel"):
+                    continue
+                if b.is_floating_point() and b.ndim > 0:
+                    b.copy_(torch.randn(b.shape, generator=g, dtype=torch.float32) * std)
+
+
+class RandnRecorder:
+    """Monkeypatch torch.randn: deterministic draws, recorded in call order.
+
+    The reference injects noise with bare ``torch.randn([n,1,h,w])`` inside
+    forward (net.py:148, E.py:60); recording lets the flax side replay the
+    exact tensors through its explicit ``noise`` arguments.
+    """
+
+    def __init__(self, seed=1234):
+        self.gen = torch.Generator().manual_seed(seed)
+        self.recorded = []
+
+    def __enter__(self):
+        self._orig = torch.randn
+
+        def rec(*args, **kwargs):
+            kwargs.setdefault("generator", self.gen)
+            t = self._orig(*args, **kwargs)
+            self.recorded.append(t)
+            return t
+
+        torch.randn = rec
+        return self
+
+    def __exit__(self, *exc):
+        torch.randn = self._orig
+        return False
+
+    def nhwc_pairs(self):
+        """[(n1, n2), ...] with [N,1,H,W] -> [N,H,W,1]."""
+        flat = self._flat()
+        assert len(flat) % 2 == 0, len(flat)
+        return [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
+
+    def block_noise(self, counts):
+        """Group recordings into per-block (n1, n2) tuples; blocks without a
+        second conv record a single draw (n2 -> None)."""
+        flat = self._flat()
+        out, i = [], 0
+        for c in counts:
+            out.append((flat[i], flat[i + 1]) if c == 2 else (flat[i], None))
+            i += c
+        assert i == len(flat), (i, len(flat))
+        return out
+
+    def _flat(self):
+        return [
+            jnp.asarray(np.transpose(t.numpy(), (0, 2, 3, 1))) for t in self.recorded
+        ]
+
+
+# ---------------------------------------------------------------------------
+# StyleGANv1 (model/stylegan1/net.py)
+# ---------------------------------------------------------------------------
+
+
+def test_stylegan1_mapping_parity():
+    from model.stylegan1.net import Mapping
+
+    from tpugan.models.stylegan1 import StyleGANv1Mapping, truncation_coefs
+
+    latent, num_layers = 32, 6
+    g = torch.Generator().manual_seed(7)
+    center = torch.randn(num_layers, latent, generator=g)
+    ref = Mapping(
+        num_layers=num_layers, mapping_layers=4, latent_size=latent,
+        dlatent_size=latent, mapping_fmaps=latent, trunc_tensor=center,
+    )
+    seed_state(ref, 11, include_buffers=False)
+    ref.eval()
+    z = torch.randn(3, latent, generator=g)
+    coefs = truncation_coefs(num_layers)
+    with torch.no_grad():
+        out_ref = ref(z, torch.from_numpy(np.asarray(coefs)))
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items() if k != "buffer1"}
+    params = convert.stylegan1_mapping(state, mapping_layers=4)
+    ours = StyleGANv1Mapping(
+        num_layers=num_layers, mapping_layers=4, latent_size=latent,
+        dlatent_size=latent, mapping_fmaps=latent,
+    )
+    out = ours.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(z.numpy()), coefs, jnp.asarray(center.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("blend", [1.0, 0.6])
+def test_stylegan1_generator_parity(blend):
+    """Full Generator incl. the fused-scale (transform_kernel transpose)
+    block at resolution 128 (net.py:285), both decode and decode2 paths."""
+    from model.stylegan1.net import Generator
+
+    from tpugan.models.stylegan1 import StyleGANv1Generator
+
+    layer_count, startf, maxf, latent = 6, 4, 16, 32  # reaches 128 -> block 5 fused
+    ref = Generator(
+        startf=startf, maxf=maxf, layer_count=layer_count,
+        latent_size=latent, channels=3,
+    )
+    seed_state(ref, 3)
+    ref.eval()
+    lod = layer_count - 1
+    g = torch.Generator().manual_seed(5)
+    styles = torch.randn(2, 2 * layer_count, latent, generator=g)
+    with torch.no_grad(), RandnRecorder() as rec:
+        out_ref = ref(styles, lod, blend=blend)
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert.stylegan1_generator(state, layer_count)
+    ours = StyleGANv1Generator(
+        startf=startf, maxf=maxf, layer_count=layer_count, latent_size=latent
+    )
+    out = ours.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(styles.numpy()), lod, blend, rec.nhwc_pairs(),
+    )
+    np.testing.assert_allclose(
+        to_nchw(out), out_ref.numpy(), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_e_encoder_parity():
+    """BE (E.py, case 1): (const features, reversed w pairs)."""
+    from model.E.E import BE
+
+    from tpugan.models.encoders import Encoder
+
+    startf, maxf, layer_count, latent = 8, 32, 3, 512
+    ref = BE(startf=startf, maxf=maxf, layer_count=layer_count,
+             latent_size=latent, channels=3)
+    seed_state(ref, 21)
+    ref.eval()
+    g = torch.Generator().manual_seed(9)
+    img = torch.randn(2, 3, 16, 16, generator=g)
+    with torch.no_grad(), RandnRecorder() as rec:
+        # block_num=9 makes range(9-9, layer_count) run every block (E.py:126)
+        const_ref, w_ref = ref(img, block_num=9)
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert.encoder(state, layer_count)
+    ours = Encoder(startf=startf, maxf=maxf, layer_count=layer_count, latent_size=latent)
+    const, w = ours.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        to_nhwc(img), noise=rec.block_noise([2] * (layer_count - 1) + [1]),
+    )
+    np.testing.assert_allclose(to_nchw(const), const_ref.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(w), w_ref.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_e_blur_encoder_parity():
+    """BE_Blur (E_Blur.py, case 2) at the REAL 1024 ladder: blur before the
+    downsampling conv, fused-scale (stride-2 transform_kernel) while the
+    reference's hardcoded resolution counter (E_Blur.py:99) is >= 128."""
+    from model.E.E_Blur import BE as BE_Blur
+
+    from tpugan.models.encoders import Encoder
+
+    startf, maxf, layer_count, latent = 2, 8, 9, 512
+    ref = BE_Blur(startf=startf, maxf=maxf, layer_count=layer_count,
+                  latent_size=latent, channels=3)
+    seed_state(ref, 23)
+    ref.eval()
+    g = torch.Generator().manual_seed(13)
+    img = torch.randn(1, 3, 1024, 1024, generator=g)
+    with torch.no_grad(), RandnRecorder() as rec:
+        const_ref, w_ref = ref(img, block_num=9)
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert.encoder(state, layer_count)
+    ours = Encoder(startf=startf, maxf=maxf, layer_count=layer_count,
+                   latent_size=latent, use_blur=True)
+    const, w = ours.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        to_nhwc(img), noise=rec.block_noise([2] * (layer_count - 1) + [1]),
+    )
+    np.testing.assert_allclose(to_nchw(const), const_ref.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(w), w_ref.numpy(), rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN2 (model/stylegan2_generator.py)
+# ---------------------------------------------------------------------------
+
+
+def test_stylegan2_generator_parity():
+    from model.stylegan2_generator import StyleGAN2Generator as RefSG2
+
+    from tpugan.models.stylegan2 import StyleGAN2Generator
+
+    kw = dict(
+        resolution=16, z_space_dim=64, w_space_dim=64, mapping_layers=4,
+        mapping_fmaps=64, fmaps_base=256, fmaps_max=64,
+    )
+    ref = RefSG2(**kw)
+    seed_state(ref, 31)
+    ref.eval()
+    g = torch.Generator().manual_seed(17)
+    z = torch.randn(2, 64, generator=g)
+    with torch.no_grad():
+        out_ref = ref(z, trunc_psi=0.7, trunc_layers=4, randomize_noise=False)
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    converted = convert.stylegan2_generator(state)
+    ours = StyleGAN2Generator(**kw)
+    out = ours.apply(
+        jax.tree.map(jnp.asarray, converted),
+        jnp.asarray(z.numpy()), trunc_psi=0.7, trunc_layers=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["wp"]), out_ref["wp"].numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        to_nchw(out["image"]), out_ref["image"].numpy(), rtol=2e-3, atol=2e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# PGGAN (model/pggan/pggan_generator.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fused_scale", [False, True])
+def test_pggan_generator_parity(fused_scale, capsys):
+    from model.pggan.pggan_generator import PGGANGenerator as RefPG
+
+    from tpugan.models.pggan import PGGANGenerator
+
+    kw = dict(resolution=16, z_space_dim=64, fmaps_base=256, fmaps_max=64,
+              fused_scale=fused_scale)
+    ref = RefPG(**kw)
+    seed_state(ref, 41, include_buffers=False)  # keep the lod buffer at 0
+    ref.eval()
+    g = torch.Generator().manual_seed(19)
+    z = torch.randn(2, 64, generator=g)
+    with torch.no_grad():
+        out_ref = ref(z)  # prints x.shape — the reference's stray debug print
+    capsys.readouterr()
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert.pggan_generator(state, fused_scale=fused_scale)
+    ours = PGGANGenerator(**kw)
+    out = ours.apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(z.numpy())
+    )
+    np.testing.assert_allclose(
+        to_nchw(out["image"]), out_ref["image"].numpy(), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_pg_encoder_parity():
+    """E_PG blocks + new_final head vs the torch modules driven directly
+    (the reference's own forward returns (0, 0) — E_PG.py:163-164 bug)."""
+    from model.E.E_PG import BE as BE_PG
+
+    from tpugan.models.encoders import PGEncoder
+
+    startf, maxf, layer_count = 128, 512, 3
+    ref = BE_PG(startf=startf, maxf=maxf, layer_count=layer_count,
+                latent_size=512, channels=3, pggan=True)
+    seed_state(ref, 43)
+    ref.eval()
+    g = torch.Generator().manual_seed(29)
+    img = torch.randn(2, 3, 16, 16, generator=g)
+    with torch.no_grad(), RandnRecorder() as rec:
+        x = ref.FromRGB(img)
+        for i in range(layer_count):
+            x, _, _ = ref.decode_block[i](x)
+        z_ref = ref.new_final(x.reshape(x.shape[0], -1))
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    converted = convert.pg_encoder(state, layer_count, maxf=maxf)
+    ours = PGEncoder(startf=startf, maxf=maxf, layer_count=layer_count, latent_size=512)
+    feats, z = ours.apply(
+        {"params": jax.tree.map(jnp.asarray, converted)},
+        to_nhwc(img), noise=rec.block_noise([2] * (layer_count - 1) + [1]),
+    )
+    np.testing.assert_allclose(to_nchw(feats), x.numpy(), rtol=2e-3, atol=2e-4)
+    # activations reach O(500) with the seeded-random weights; allow fp
+    # accumulation noise on the 8192-wide head reduction
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# BigGAN (model/biggan_generator.py) + E_BIG
+# ---------------------------------------------------------------------------
+
+
+def _small_biggan_config():
+    from model.utils.biggan_config import BigGANConfig
+
+    # gen_z hardcodes the 4x4x(16*channel_width) seed (biggan_generator.py
+    # :227,237-239), so the first layer tuple must start at in_mul=16
+    return BigGANConfig(
+        output_dim=16, z_dim=16, class_embed_dim=16, channel_width=4,
+        num_classes=10,
+        # GenBlock's channel-drop skip halves at most (biggan_generator.py
+        # :196-198), so successive mults step by <=2x down to out_mul=1
+        layers=[(False, 16, 16), (True, 16, 8), (True, 8, 4), (True, 4, 2),
+                (True, 2, 1)],
+        attention_layer_position=2, eps=1e-4, n_stats=51,
+    )
+
+
+def test_biggan_generator_parity():
+    from model.biggan_generator import BigGAN as RefBigGAN
+
+    from tpugan.models.biggan import BigGAN, BigGANConfig
+
+    ref_cfg = _small_biggan_config()
+    ref = RefBigGAN(ref_cfg)
+    seed_state(ref, 51)
+    # running_vars must be positive; the BN interp needs valid stats
+    with torch.no_grad():
+        for name, b in ref.named_buffers():
+            if name.endswith("running_vars"):
+                b.abs_().add_(0.5)
+    # converge the spectral-norm u/v so eval sigma matches the fold/live path
+    g = torch.Generator().manual_seed(37)
+    z = torch.randn(2, ref_cfg.z_dim, generator=g)
+    label = torch.zeros(2, ref_cfg.num_classes)
+    label[0, 3] = 1.0
+    label[1, 7] = 1.0
+    ref.train()
+    with torch.no_grad():
+        for _ in range(30):
+            ref(z, label, 0.4)
+    ref.eval()
+    with torch.no_grad():
+        img_ref, cond_ref = ref(z, label, 0.4)
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    converted = convert.biggan(state)
+    cfg = BigGANConfig(
+        output_dim=ref_cfg.output_dim, z_dim=ref_cfg.z_dim,
+        class_embed_dim=ref_cfg.class_embed_dim, channel_width=ref_cfg.channel_width,
+        num_classes=ref_cfg.num_classes,
+        layers=[tuple(t) for t in ref_cfg.layers],
+        attention_layer_position=ref_cfg.attention_layer_position,
+        eps=ref_cfg.eps, n_stats=ref_cfg.n_stats,
+    )
+    ours = BigGAN(cfg)
+    img, cond = ours.apply(
+        jax.tree.map(jnp.asarray, converted),
+        jnp.asarray(z.numpy()), jnp.asarray(label.numpy()), 0.4,
+    )
+    np.testing.assert_allclose(np.asarray(cond), cond_ref.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(to_nchw(img), img_ref.numpy(), rtol=2e-3, atol=5e-4)
+
+
+def test_biggan_encoder_parity():
+    from model.E.E_BIG import BE as BE_BIG
+
+    from tpugan.models.encoders import BigGANEncoder
+
+    startf, maxf, layer_count = 128, 512, 3
+    ref = BE_BIG(startf=startf, maxf=maxf, layer_count=layer_count,
+                 latent_size=512, channels=3, biggan=True)
+    # std 0.05: 512-wide convs at std 0.3 blow activations up to O(1e6),
+    # where fp32 accumulation-order noise swamps tight tolerances
+    seed_state(ref, 61, std=0.05)
+    with torch.no_grad():
+        for name, b in ref.named_buffers():
+            if name.endswith("running_vars"):
+                b.abs_().add_(0.5)
+    g = torch.Generator().manual_seed(41)
+    img = torch.randn(2, 3, 16, 16, generator=g)
+    cond = torch.randn(2, 256, generator=g)
+    # materialise torch's weight_v buffer (first forward), then eval:
+    # SNDense reproduces torch's eval sigma exactly from the stored u/v
+    ref.train()
+    with torch.no_grad(), RandnRecorder(seed=0):
+        ref(img, cond, block_num=9)
+    ref.eval()
+    with torch.no_grad(), RandnRecorder() as rec:
+        cv_ref, z_ref = ref(img, cond, block_num=9)
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    converted = convert.biggan_encoder(state, layer_count, maxf=maxf)
+    ours = BigGANEncoder(startf=startf, maxf=maxf, layer_count=layer_count)
+    # no mutable collections: eval semantics (sigma from stored u/v,
+    # no power iteration) exactly as torch eval
+    cv, z = ours.apply(
+        jax.tree.map(jnp.asarray, converted),
+        to_nhwc(img), jnp.asarray(cond.numpy()),
+        noise=rec.block_noise([2] * (layer_count - 1) + [1]),
+    )
+    np.testing.assert_allclose(np.asarray(cv), cv_ref.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# LREQAdam (model/utils/custom_adam.py)
+# ---------------------------------------------------------------------------
+
+
+class _LegacyInplaceShims:
+    """The reference optimizer uses torch<=1.x positional signatures
+    ``addcmul_(value, t1, t2)`` / ``addcdiv_(value, t1, t2)``
+    (custom_adam.py:61,74) which modern torch rejects; reroute them."""
+
+    def __enter__(self):
+        self._addcmul = torch.Tensor.addcmul_
+        self._addcdiv = torch.Tensor.addcdiv_
+
+        def mk(orig):
+            def compat(self_, *args, **kw):
+                if args and not torch.is_tensor(args[0]):
+                    return orig(self_, args[1], args[2], value=args[0])
+                return orig(self_, *args, **kw)
+
+            return compat
+
+        torch.Tensor.addcmul_ = mk(self._addcmul)
+        torch.Tensor.addcdiv_ = mk(self._addcdiv)
+        return self
+
+    def __exit__(self, *exc):
+        torch.Tensor.addcmul_ = self._addcmul
+        torch.Tensor.addcdiv_ = self._addcdiv
+        return False
+
+
+def test_lreq_adam_trace_parity():
+    """5-step update trace of the reference optimizer on real lreq layers
+    vs our optax transform consuming the converted coef tree."""
+    import model.utils.lreq as ln
+    from model.utils.custom_adam import LREQAdam
+
+    from tpugan.optim import lreq_adam
+
+    torch.manual_seed(71)
+    layer = ln.Linear(8, 4, gain=np.sqrt(2.0), lrmul=0.5)
+    with torch.no_grad():
+        layer.weight.copy_(torch.randn(4, 8) * 0.3)
+        layer.bias.copy_(torch.randn(4) * 0.1)
+    opt = LREQAdam(layer.parameters(), lr=0.0015, betas=(0.0, 0.99))
+
+    # .numpy() aliases torch memory and CPU-backend jnp.asarray is
+    # zero-copy, so opt.step()'s in-place update would leak in: copy.
+    params = {
+        "kernel": jnp.asarray(layer.weight.detach().numpy().T.copy()),
+        "bias": jnp.asarray(layer.bias.detach().numpy().copy()),
+    }
+    coefs = {
+        "kernel": jnp.float32(layer.weight.lr_equalization_coef),
+        "bias": jnp.float32(layer.bias.lr_equalization_coef),
+    }
+    ours = lreq_adam(0.0015, coefs=coefs)
+    state = ours.init(params)
+
+    g = torch.Generator().manual_seed(73)
+    for step in range(5):
+        gw = torch.randn(4, 8, generator=g)
+        gb = torch.randn(4, generator=g)
+        layer.weight.grad = gw.clone()
+        layer.bias.grad = gb.clone()
+        with _LegacyInplaceShims():
+            opt.step()
+        grads = {"kernel": jnp.asarray(gw.numpy().T), "bias": jnp.asarray(gb.numpy())}
+        updates, state = ours.update(grads, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        np.testing.assert_allclose(
+            np.asarray(params["kernel"]).T, layer.weight.detach().numpy(),
+            rtol=1e-5, atol=1e-6, err_msg=f"step {step}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["bias"]), layer.bias.detach().numpy(),
+            rtol=1e-5, atol=1e-6, err_msg=f"step {step}",
+        )

@@ -338,6 +338,111 @@ def encoder(state: Dict[str, np.ndarray], layer_count: int) -> Dict[str, Any]:
     return p
 
 
+def pg_encoder(state: Dict[str, np.ndarray], layer_count: int, maxf: int = 512) -> Dict[str, Any]:
+    """E_PG state dict (model/E/E_PG.py BE) -> tpugan PGEncoder params.
+
+    ``new_final`` follows the NCHW flatten of the final [maxf, 4, 4]
+    features, so its input rows are permuted to the NHWC flatten order.
+    """
+    p: Dict[str, Any] = {
+        "from_rgb": {
+            "kernel": conv_w(state["FromRGB.from_rgb.weight"]),
+            "bias": state["FromRGB.from_rgb.bias"],
+        }
+    }
+    for i in range(layer_count):
+        src = f"decode_block.{i}."
+        blk: Dict[str, Any] = {
+            "noise_weight_1": chan(state[src + "noise_weight_1"]),
+            "bias_1": chan(state[src + "bias_1"]),
+            "conv_1": {"kernel": conv_w(state[src + "conv_1.weight"])},
+        }
+        if src + "conv_2.weight" in state:
+            blk["noise_weight_2"] = chan(state[src + "noise_weight_2"])
+            blk["bias_2"] = chan(state[src + "bias_2"])
+            blk["conv_2"] = {"kernel": conv_w(state[src + "conv_2.weight"])}
+        if src + "conv_3.weight" in state:
+            blk["conv_3"] = {
+                "kernel": conv_w(state[src + "conv_3.weight"]),
+                "bias": state[src + "conv_3.bias"],
+            }
+            # affine instance_norm_3 (E_PG.py:67)
+            blk["in3_scale"] = state[src + "instance_norm_3.weight"]
+            blk["in3_bias"] = state[src + "instance_norm_3.bias"]
+        p[f"block_{i}"] = blk
+    p["new_final"] = {
+        "kernel": _permute_flatten_rows(linear_w(state["new_final.weight"]), maxf, 4, 4),
+        "bias": state["new_final.bias"],
+    }
+    return p
+
+
+def biggan_encoder(
+    state: Dict[str, np.ndarray], layer_count: int, maxf: int = 512
+) -> Dict[str, Any]:
+    """E_BIG state dict (model/E/E_BIG.py BE) -> {'params', 'buffers', 'sn'}.
+
+    The conditional batch norms keep *live* spectral norm; torch's stored
+    ``weight_u``/``weight_v`` buffers transfer directly into the ``sn``
+    collection (SNDense implements torch's exact train/eval semantics).
+    """
+    params: Dict[str, Any] = {
+        "from_rgb": {
+            "kernel": conv_w(state["FromRGB.from_rgb.weight"]),
+            "bias": state["FromRGB.from_rgb.bias"],
+        }
+    }
+    buffers: Dict[str, Any] = {}
+    sn: Dict[str, Any] = {}
+    for i in range(layer_count):
+        src = f"decode_block.{i}."
+        blk: Dict[str, Any] = {
+            "noise_weight_1": chan(state[src + "noise_weight_1"]),
+            "bias_1": chan(state[src + "bias_1"]),
+            "conv_1": {"kernel": conv_w(state[src + "conv_1.weight"])},
+        }
+        bblk: Dict[str, Any] = {}
+        sblk: Dict[str, Any] = {}
+        for bn in ("batch_norm_1", "batch_norm_2", "batch_norm_3"):
+            if src + bn + ".running_means" not in state:
+                continue
+            bblk[bn] = {
+                "running_means": state[src + bn + ".running_means"],
+                "running_vars": state[src + bn + ".running_vars"],
+            }
+            blk[bn] = {}
+            sblk[bn] = {}
+            for lin in ("scale", "offset"):
+                blk[bn][lin] = {
+                    "kernel": linear_w(state[f"{src}{bn}.{lin}.weight_orig"])
+                }
+                sblk[bn][lin] = {
+                    "u": state[f"{src}{bn}.{lin}.weight_u"],
+                    "v": state[f"{src}{bn}.{lin}.weight_v"],
+                }
+        if src + "conv_2.weight" in state:
+            blk["noise_weight_2"] = chan(state[src + "noise_weight_2"])
+            blk["bias_2"] = chan(state[src + "bias_2"])
+            blk["conv_2"] = {"kernel": conv_w(state[src + "conv_2.weight"])}
+        if src + "conv_3.weight" in state:
+            blk["conv_3"] = {
+                "kernel": conv_w(state[src + "conv_3.weight"]),
+                "bias": state[src + "conv_3.bias"],
+            }
+        params[f"block_{i}"] = blk
+        buffers[f"block_{i}"] = bblk
+        sn[f"block_{i}"] = sblk
+    params["new_final_1"] = {
+        "kernel": _permute_flatten_rows(linear_w(state["new_final_1.weight"]), maxf, 4, 4),
+        "bias": state["new_final_1.bias"],
+    }
+    params["new_final_2"] = {
+        "kernel": linear_w(state["new_final_2.weight"]),
+        "bias": state["new_final_2.bias"],
+    }
+    return {"params": params, "buffers": buffers, "sn": sn}
+
+
 # ---------------------------------------------------------------------------
 # VGG16 / LPIPS
 # ---------------------------------------------------------------------------

@@ -21,8 +21,17 @@ def _l2_normalize(x, eps):
 
 
 class SNDense(nn.Module):
-    """Dense layer with spectral normalization (torch.nn.utils.spectral_norm
-    semantics: one power iteration per forward, u persisted)."""
+    """Dense layer with spectral normalization — exact
+    torch.nn.utils.spectral_norm semantics (n_power_iterations=1):
+
+      * training forward (``sn`` collection mutable): v = normalize(W^T u),
+        u = normalize(W v), both persisted; sigma from the updated pair.
+      * eval forward (``sn`` immutable): sigma = u . (W v) from the stored
+        pair, no iteration.
+
+    kernel is stored [in, out] = W^T, so u has shape [out] and v [in],
+    matching torch's ``weight_u`` / ``weight_v`` buffers directly.
+    """
 
     features: int
     use_bias: bool = True
@@ -36,22 +45,25 @@ class SNDense(nn.Module):
             nn.initializers.lecun_normal(),
             (in_features, self.features),
         )
-        u_var = self.variable(
-            "sn", "u",
-            lambda: _l2_normalize(
-                jax.random.normal(self.make_rng("params") if self.has_rng("params")
-                                  else jax.random.PRNGKey(0), (self.features,)),
-                self.eps,
-            ),
+
+        def init_u():
+            key = (
+                self.make_rng("params") if self.has_rng("params")
+                else jax.random.PRNGKey(0)
+            )
+            return _l2_normalize(jax.random.normal(key, (self.features,)), self.eps)
+
+        u_var = self.variable("sn", "u", init_u)
+        v_var = self.variable(
+            "sn", "v", lambda: _l2_normalize(kernel @ u_var.value, self.eps)
         )
-        u = u_var.value
-        # one power iteration (torch: v = normalize(W^T u), u = normalize(W v));
-        # u/v are buffers (detached), sigma = u^T W v stays in the graph
-        v = jax.lax.stop_gradient(_l2_normalize(kernel @ u, self.eps))
-        u_new = jax.lax.stop_gradient(_l2_normalize(kernel.T @ v, self.eps))
-        sigma = v @ kernel @ u_new
-        if self.is_initializing() or self.is_mutable_collection("sn"):
-            u_var.value = u_new
+        u, v = u_var.value, v_var.value
+        if self.is_mutable_collection("sn") and not self.is_initializing():
+            # one power iteration, buffers detached (torch compute_weight)
+            v = jax.lax.stop_gradient(_l2_normalize(kernel @ u, self.eps))
+            u = jax.lax.stop_gradient(_l2_normalize(v @ kernel, self.eps))
+            u_var.value, v_var.value = u, v
+        sigma = v @ kernel @ u
         y = x @ (kernel / sigma)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
