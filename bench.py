@@ -103,7 +103,7 @@ def build_sg1_step(batch):
     return step, state, frozen
 
 
-def build_sg2_step(batch=2, res=1024):
+def build_sg2_step(batch=2, res=1024, bf16=False, enc_bf16=False, remat=False):
     from tpugan.models import Encoder, StyleGAN2Generator
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -130,14 +130,27 @@ def build_sg2_step(batch=2, res=1024):
     def resynth(frozen, w, b, k):
         return gen.apply(frozen, w, method=gen.synthesize)["image"]
 
+    if bf16:
+        from tpugan.precision import bf16_frozen, bf16_pipeline
+
+        synth, resynth = bf16_pipeline(synth, resynth)
+        gvars = bf16_frozen(gvars)
+
+    encode = make_encode_fn(enc, {k_: v for k_, v in evars.items() if k_ != "params"})
+    if enc_bf16:
+        from tpugan.precision import bf16_encode
+
+        encode = bf16_encode(encode)
+
     step = make_train_step(
-        encode=make_encode_fn(enc, {k_: v for k_, v in evars.items() if k_ != "params"}),
+        encode=encode,
         synth=synth,
         resynth=resynth,
         optimizer=opt,
         z_dim=512,
         batch_size=batch,
         case=2,
+        remat=remat,
     )
     state = init_train_state(evars["params"], opt)
     return step, state, gvars
@@ -234,7 +247,7 @@ def main():
             )
         except Exception as e:  # never lose the primary line
             extras.append({"metric": "e_align_b32", "error": str(e)[:200]})
-        # flagship heavy config: SG2-1024 case-2 E_Blur
+        # flagship heavy config: SG2-1024 case-2 E_Blur (fp32 and bf16)
         try:
             step2, state2, frozen2 = build_sg2_step(batch=2, res=1024)
             dt2, flops2 = time_step(step2, state2, frozen2, iters=8, want_flops=True)
@@ -243,6 +256,16 @@ def main():
             )
         except Exception as e:
             extras.append({"metric": "sg2_1024_case2", "error": str(e)[:200]})
+        try:
+            step3, state3, frozen3 = build_sg2_step(batch=2, res=1024, bf16=True, enc_bf16=True)
+            dt3, flops3 = time_step(step3, state3, frozen3, iters=8, want_flops=True)
+            e3 = metric_entry(
+                "e_blur_case2_train_images_per_sec_1024_bf16", 2, dt3, flops3, peak
+            )
+            e3["dtype"] = "bfloat16 compute, fp32 master/norms"
+            extras.append(e3)
+        except Exception as e:
+            extras.append({"metric": "sg2_1024_case2_bf16", "error": str(e)[:200]})
     if extras:
         result["extra"] = extras
 

@@ -1,0 +1,126 @@
+"""Component timing for the SG2-1024 case-2 step: where do 200 ms go?
+
+Times (steady-state, jitted separately): generator fwd, encoder fwd,
+image-space grad step, latent grad step, full train step — fp32 and bf16.
+Usage: python scripts/prof_sg2_parts.py [--res 1024] [--batch 2] [--bf16]
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from tpugan.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, iters=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+
+    from tpugan.models import Encoder, StyleGAN2Generator
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.precision import bf16_encode, bf16_frozen, bf16_pipeline
+    from tpugan.runtime import to_accelerator
+    from tpugan.train import make_encode_fn, make_train_step
+    from tpugan.train.e_align import SynthBatch, init_train_state
+
+    res, batch = args.res, args.batch
+    startf = {128: 128, 256: 64, 512: 32, 1024: 16}[res]
+    layer_count = {128: 6, 256: 7, 512: 8, 1024: 9}[res]
+    gen = StyleGAN2Generator(resolution=res)
+    enc = Encoder(startf=startf, maxf=512, layer_count=layer_count, latent_size=512, use_blur=True)
+    key = jax.random.PRNGKey(0)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        gvars = jax.jit(gen.init)({"params": key}, jnp.zeros((1, 512)))
+        evars = jax.jit(enc.init)({"params": key, "noise": key}, jnp.zeros((1, res, res, 3)))
+    coefs = lreq_coef_tree(evars["params"], evars["lreq"])
+    opt = lreq_adam(0.0015, coefs=coefs)
+
+    def synth(frozen, k, z):
+        out = gen.apply(frozen, z, trunc_psi=0.7, trunc_layers=8)
+        const1 = jnp.repeat(frozen["params"]["synthesis"]["const"], z.shape[0], axis=0)
+        return SynthBatch(w1=out["wp"], imgs1=out["image"], const1=const1)
+
+    def resynth(frozen, w, b, k):
+        return gen.apply(frozen, w, method=gen.synthesize)["image"]
+
+    encode = make_encode_fn(enc, {k_: v for k_, v in evars.items() if k_ != "params"})
+    if args.bf16:
+        synth, resynth = bf16_pipeline(synth, resynth)
+        encode = bf16_encode(encode)
+        gvars = bf16_frozen(gvars)
+
+    frozen = to_accelerator(gvars)
+    params = to_accelerator(evars["params"])
+    z = to_accelerator(jax.random.normal(key, (batch, 512)))
+
+    synth_j = jax.jit(synth)
+    batch0 = synth_j(frozen, key, z)
+    print(f"synth fwd          : {timeit(synth_j, frozen, key, z):8.1f} ms")
+
+    encode_j = jax.jit(encode)
+    print(f"encode fwd         : {timeit(encode_j, params, batch0, key):8.1f} ms")
+
+    def resynth_fwd(frozen, params, batch0):
+        _, w2 = encode(params, batch0, key)
+        return resynth(frozen, w2, batch0, key)
+
+    rj = jax.jit(resynth_fwd)
+    print(f"encode+resynth fwd : {timeit(rj, frozen, params, batch0):8.1f} ms")
+
+    # image-space grad (case-2 first optimizer step's backward)
+    def img_loss(params, frozen, batch0):
+        _, w2 = encode(params, batch0, key)
+        imgs2 = resynth(frozen, w2, batch0, key)
+        return jnp.mean(jnp.square(imgs2 - batch0.imgs1))
+
+    gj = jax.jit(jax.grad(img_loss))
+    print(f"image-loss grad    : {timeit(gj, params, frozen, batch0):8.1f} ms")
+
+    # latent grad (second optimizer step: losses on w/const only)
+    def lat_loss(params, batch0):
+        const2, w2 = encode(params, batch0, key)
+        return jnp.mean(jnp.square(w2 - batch0.w1)) + jnp.mean(jnp.square(const2 - batch0.const1))
+
+    lj = jax.jit(jax.grad(lat_loss))
+    print(f"latent-loss grad   : {timeit(lj, params, batch0):8.1f} ms")
+
+    step = make_train_step(
+        encode=encode, synth=synth, resynth=resynth, optimizer=opt,
+        z_dim=512, batch_size=batch, case=2,
+    )
+    state = to_accelerator(init_train_state(evars["params"], opt))
+    sj = jax.jit(step)
+    state, _ = sj(state, jnp.int32(0), frozen)
+
+    def run(state):
+        s, _ = sj(state, jnp.int32(1), frozen)
+        return s
+
+    print(f"full train step    : {timeit(run, state):8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

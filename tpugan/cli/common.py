@@ -277,6 +277,58 @@ def build_bundle(args) -> GanBundle:
     raise ValueError(f"unknown mtype {args.mtype}")
 
 
+def warn_random_weights(flag: str, consequence: str) -> None:
+    """Unmissable degradation warning (perceptual nets falling back to
+    random/disabled are numerically meaningless vs the reference)."""
+    import sys
+
+    bar = "!" * 74
+    print(
+        f"\n{bar}\nWARNING: --{flag} not provided — {consequence}.\n"
+        f"Results will NOT be comparable to the reference pipeline; pass a\n"
+        f"local path or URL (downloaded once via tpugan.io.fetch).\n{bar}\n",
+        file=sys.stderr,
+        flush=True,
+    )
+
+
+def build_lpips_fn(args):
+    """LPIPS closure from --lpips_weights (path or URL). The reference
+    always trains with real LPIPS (E_align_cropping_s1.py:98); without
+    weights the term is DISABLED, loudly."""
+    if getattr(args, "lpips_weights", None):
+        from tpugan.io import convert
+        from tpugan.io.fetch import cached_path
+        from tpugan.losses.lpips import make_lpips_fn
+
+        state = convert.load_torch_state_dict(cached_path(args.lpips_weights))
+        params = {"params": jax.tree.map(jnp.asarray, convert.lpips_vgg(state))}
+        return make_lpips_fn(params)
+    warn_random_weights("lpips_weights", "the LPIPS loss term is DISABLED")
+    return None
+
+
+def build_vgg16_vars(args, img_size: int):
+    """VGG16 params from --vgg_weights (path or URL); RANDOM weights with a
+    loud warning otherwise (Grad-CAM attention over random features is
+    structurally exercised but semantically meaningless)."""
+    from tpugan.losses.vgg import VGG16
+
+    vgg = VGG16()
+    if getattr(args, "vgg_weights", None):
+        from tpugan.io import convert
+        from tpugan.io.fetch import cached_path
+
+        sd = convert.load_torch_state_dict(cached_path(args.vgg_weights))
+        return vgg, {"params": jax.tree.map(jnp.asarray, convert.vgg16(sd))}
+    warn_random_weights("vgg_weights", "VGG16 (Grad-CAM/GBP) weights are RANDOM")
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        vgg_vars = jax.jit(vgg.init)(
+            jax.random.PRNGKey(7), jnp.zeros((1, img_size, img_size, 3))
+        )
+    return vgg, vgg_vars
+
+
 def make_result_dirs(experiment_dir: Optional[str], default_name: str):
     """Mirror the reference's result tree (E_align_cropping_s1.py:318-331)."""
     base = experiment_dir or os.path.join("./result", default_name)

@@ -24,6 +24,10 @@ def main(argv=None):
     from tpugan.eval.compare import compare_dirs
 
     lpips_fn = None
+    if not args.lpips_weights:
+        from tpugan.cli.common import warn_random_weights
+
+        warn_random_weights("lpips_weights", "the LPIPS column is DISABLED")
     if args.lpips_weights:
         from tpugan.io import convert
         from tpugan.losses.lpips import make_lpips_fn

@@ -21,8 +21,10 @@ def main(argv=None):
     parser.add_argument("--remat", action="store_true",
                         help="rematerialise activations (1024^2 memory knob)")
     parser.add_argument("--bf16", action="store_true",
-                        help="bfloat16 frozen-generator weights (~5%% step win, "
-                             "encoder stays fp32)")
+                        help="bfloat16 compute for the generator AND the encoder "
+                             "forward/backward (fp32 master weights, fp32 norm "
+                             "accumulations; +33%% at SG2-1024 case-2, parity gate "
+                             "in tests/test_bf16.py)")
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--checkpoint_every", type=int, default=5000)
     args = parser.parse_args(argv)
@@ -32,7 +34,6 @@ def main(argv=None):
 
     from tpugan.io.checkpoint import save_checkpoint
     from tpugan.io.image import save_image_grid, to_unit
-    from tpugan.losses.lpips import make_lpips_fn, random_params
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
     from tpugan.parallel import make_mesh
@@ -75,21 +76,22 @@ def main(argv=None):
                 )
                 return z2, bundle.remap(bundle.frozen, z2)
 
-    lpips_fn = None
-    if args.lpips_weights:
-        from tpugan.io import convert
-        from tpugan.losses.lpips import LPIPS
+    from tpugan.cli.common import build_lpips_fn
 
-        state = convert.load_torch_state_dict(args.lpips_weights)
-        params = {"params": jax.tree.map(jnp.asarray, convert.lpips_vgg(state))}
-        lpips_fn = make_lpips_fn(params)
+    lpips_fn = build_lpips_fn(args)
 
     mesh = make_mesh(space=args.space_shards) if len(jax.devices()) > 1 else None
     encode_used = encode_fn or make_encode_fn(bundle.encoder, enc_extra)
+    resynth_fn = bundle.resynth
+    if args.bf16:
+        from tpugan.precision import bf16_encode, bf16_pipeline
+
+        synth_fn, resynth_fn = bf16_pipeline(synth_fn, resynth_fn)
+        encode_used = bf16_encode(encode_used)
     step = make_train_step(
         encode=encode_used,
         synth=synth_fn,
-        resynth=bundle.resynth,
+        resynth=resynth_fn,
         optimizer=opt,
         z_dim=bundle.z_dim,
         batch_size=args.batch_size,
@@ -104,14 +106,9 @@ def main(argv=None):
     jitted = jax.jit(step)
     frozen = bundle.frozen
     if args.bf16:
-        import jax.numpy as _jnp
+        from tpugan.precision import bf16_frozen
 
-        frozen = jax.tree.map(
-            lambda x: x.astype(_jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == _jnp.float32
-            else x,
-            frozen,
-        )
+        frozen = bf16_frozen(frozen)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -128,16 +125,12 @@ def main(argv=None):
     for iteration in range(args.iterations):
         state, info = jitted(state, jnp.int32(iteration), frozen)
         if iteration % args.log_every == 0:
-            rec = {
-                "iteration": iteration,
-                "epoch": iteration // 30000,
-                "loss_tsa": float(info.loss_tsa),
-                "loss_mtv": float(info.loss_mtv),
-                "loss_imgs_mse": float(info.loss_imgs.mse),
-                "loss_w_mse": float(info.loss_w.mse),
-                "loss_w_cosine": float(info.loss_w.cosine),
-                "loss_c_mse": float(info.loss_c.mse),
-            }
+            from tpugan.train.e_align import info_scalars
+
+            # the full ~35-scalar set the reference logs per iteration
+            # (E_align_cropping_s1.py:233-279), one host sync per log
+            rec = {"iteration": iteration, "epoch": iteration // 30000}
+            rec.update(info_scalars(info))
             print(json.dumps(rec), flush=True)
             loss_log.write(json.dumps(rec) + "\n")
             loss_log.flush()
@@ -149,7 +142,7 @@ def main(argv=None):
             z = jax.random.normal(kz, (args.batch_size, bundle.z_dim))
             batch = synth_fn(frozen, kg1, z)
             _, w2 = encode_used(state.params, batch, ke)
-            imgs2 = bundle.resynth(frozen, w2, batch, kg2)
+            imgs2 = resynth_fn(frozen, w2, batch, kg2)
             import numpy as np
 
             grid = np.concatenate([to_unit(batch.imgs1), to_unit(imgs2)], axis=0)

@@ -39,18 +39,9 @@ def main(argv=None):
     coefs = lreq_coef_tree(bundle.enc_vars["params"], bundle.enc_vars.get("lreq", {}))
     opt = lreq_adam(args.lr, coefs=coefs)
 
-    vgg = VGG16()
-    if args.vgg_weights:
-        from tpugan.io import convert
+    from tpugan.cli.common import build_vgg16_vars
 
-        state_dict = convert.load_torch_state_dict(args.vgg_weights)
-        vgg_vars = {"params": jax.tree.map(jnp.asarray, convert.vgg16(state_dict))}
-    else:
-        cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(cpu):
-            vgg_vars = jax.jit(vgg.init)(
-                jax.random.PRNGKey(7), jnp.zeros((1, args.img_size, args.img_size, 3))
-            )
+    vgg, vgg_vars = build_vgg16_vars(args, args.img_size)
 
     step = make_mis_align_step(
         encode=make_encode_fn(bundle.encoder, enc_extra),

@@ -56,19 +56,9 @@ def main(argv=None):
 
     vgg = vgg_vars = None
     if args.gradcam:
-        from tpugan.losses.vgg import VGG16
+        from tpugan.cli.common import build_vgg16_vars
 
-        vgg = VGG16()
-        if args.vgg_weights:
-            from tpugan.io import convert
-
-            sd = convert.load_torch_state_dict(args.vgg_weights)
-            vgg_vars = {"params": jax.tree.map(jnp.asarray, convert.vgg16(sd))}
-        else:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                vgg_vars = jax.jit(vgg.init)(
-                    jax.random.PRNGKey(7), jnp.zeros((1, args.img_size, args.img_size, 3))
-                )
+        vgg, vgg_vars = build_vgg16_vars(args, args.img_size)
 
     cfg = EmbeddingConfig(
         iterations=args.iterations,
@@ -78,8 +68,11 @@ def main(argv=None):
         norm_p=args.norm_p,
         attention="gradcam" if args.gradcam else "crops",
     )
+    from tpugan.cli.common import build_lpips_fn
+
     invert = make_embedder(
         encode, resynth, bundle.enc_vars["params"], coefs, cfg,
+        lpips_fn=build_lpips_fn(args),
         vgg=vgg, vgg_vars=vgg_vars, frozen=bundle.frozen,
     )
 

@@ -37,19 +37,9 @@ def main(argv=None):
 
     vgg = vgg_vars = None
     if args.gradcam:
-        from tpugan.losses.vgg import VGG16
+        from tpugan.cli.common import build_vgg16_vars
 
-        vgg = VGG16()
-        if args.vgg_weights:
-            from tpugan.io import convert
-
-            sd = convert.load_torch_state_dict(args.vgg_weights)
-            vgg_vars = {"params": jax.tree.map(jnp.asarray, convert.vgg16(sd))}
-        else:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                vgg_vars = jax.jit(vgg.init)(
-                    jax.random.PRNGKey(7), jnp.zeros((1, args.img_size, args.img_size, 3))
-                )
+        vgg, vgg_vars = build_vgg16_vars(args, args.img_size)
 
     @jax.jit
     def run(seed, frozen):

@@ -76,8 +76,9 @@ class StyleGANv1Mapping(nn.Module):
             x = MappingBlock(features, name=f"block_{i + 1}")(x)
         x = jnp.repeat(x[:, None, :], self.num_layers, axis=1)
         if center is not None:
-            coefs = 1.0 if coefs is None else coefs
-            x = center[None] + (x - center[None]) * coefs
+            coefs = 1.0 if coefs is None else jnp.asarray(coefs).astype(x.dtype)
+            c = center[None].astype(x.dtype)
+            x = c + (x - c) * coefs
         return x
 
 

@@ -144,8 +144,9 @@ class SG2Truncation(nn.Module):
         trunc_layers = 0 if trunc_layers is None else trunc_layers
         if trunc_psi < 1.0 and trunc_layers > 0:
             idx = jnp.arange(self.num_layers)[None, :, None]
-            coefs = jnp.where(idx < trunc_layers, trunc_psi, 1.0)
-            avg = w_avg.reshape(1, -1, self.w_space_dim)
+            # cast to wp's dtype so bf16 activations don't promote to fp32
+            coefs = jnp.where(idx < trunc_layers, trunc_psi, 1.0).astype(wp.dtype)
+            avg = w_avg.reshape(1, -1, self.w_space_dim).astype(wp.dtype)
             wp = avg + (wp - avg) * coefs
         return wp
 
@@ -196,14 +197,17 @@ class ModulatedConv(nn.Module):
             self.in_channels, additional_bias=1.0, activation_type="linear", name="style"
         )(w)
 
-        # demodulation norm over (k, k, in) of the style-scaled weight
+        # demodulation norm over (k, k, in) of the style-scaled weight;
+        # accumulated in fp32 regardless of compute dtype (bf16-safe)
         if self.demodulate:
             norm = jnp.sqrt(
                 jnp.einsum(
-                    "hwio,ni->no", jnp.square(weight), jnp.square(style)
+                    "hwio,ni->no",
+                    jnp.square(weight.astype(jnp.float32)),
+                    jnp.square(style.astype(jnp.float32)),
                 )
                 + self.epsilon
-            )  # [N, out]
+            ).astype(x.dtype)  # [N, out]
 
         x = x * style[:, None, None, :]  # input-scale modulation
 
@@ -255,7 +259,7 @@ class ModulatedConv(nn.Module):
                     )
                 else:
                     noise = noise_buf
-            y = y + noise * noise_strength
+            y = y + noise.astype(y.dtype) * noise_strength
 
         if self.add_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))

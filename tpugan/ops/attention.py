@@ -1,10 +1,13 @@
-"""SAGAN attention op: softmax(q @ k^T) @ v with a Pallas forward.
+"""SAGAN attention op: softmax(q @ k^T) @ v, flash in BOTH directions.
 
-Dispatcher mirroring tpugan.ops.upfirdn: the Pallas flash-style kernel
-(tpugan/ops/pallas/attention.py) runs the forward on TPU without
-materialising the score matrix; the backward recomputes through the plain
-einsum formulation (XLA), so the op stays differentiable for the
-imgs2 = G(w2) gradient path in encoder training.
+Dispatcher mirroring tpugan.ops.upfirdn: the Pallas flash-style kernels
+(tpugan/ops/pallas/attention.py) run the forward AND the backward without
+materialising the score matrix — the forward saves the per-row logsumexp
+and the backward recomputes p per K-tile (FlashAttention backward), so the
+imgs2 = G(w2) gradient path in encoder training never writes the
+(h*w) x (h*w/4) scores to HBM in either direction. Shapes the kernels
+can't tile (unaligned, or K/V too large for VMEM) fall back to the XLA
+einsum formulation.
 """
 
 from __future__ import annotations
@@ -38,26 +41,41 @@ def _attention_xla(q, k, v):
     )
 
 
+# conservative per-program VMEM budget for the whole-K/V-resident kernels;
+# beyond it the op falls back to XLA rather than faulting the device
+_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
+
+
+def _pallas_ok(q, k, v):
+    lq, lk, dk, dv = q.shape[1], k.shape[1], q.shape[2], v.shape[2]
+    if lq % 128 or lk % 128:
+        return False
+    # fwd/dq keep full K+V per program; dkv keeps full Q+dO+O-row terms
+    resident = 4 * max(lk * (dk + dv), lq * (dk + dv + 2))
+    return resident < _VMEM_BUDGET_BYTES
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _attention(q, k, v, use_pallas):
-    return _attention_impl(q, k, v, use_pallas)
-
-
-def _attention_impl(q, k, v, use_pallas):
-    lq, lk = q.shape[1], k.shape[1]
-    if use_pallas and lq % 128 == 0 and lk % 128 == 0:
-        from tpugan.ops.pallas.attention import sagan_attention_pallas
-
-        return sagan_attention_pallas(q, k, v)
-    return _attention_xla(q, k, v)
+    out, _ = _attention_fwd(q, k, v, use_pallas)
+    return out
 
 
 def _attention_fwd(q, k, v, use_pallas):
-    return _attention_impl(q, k, v, use_pallas), (q, k, v)
+    if use_pallas and _pallas_ok(q, k, v):
+        from tpugan.ops.pallas.attention import sagan_attention_pallas
+
+        out, lse = sagan_attention_pallas(q, k, v, return_lse=True)
+        return out, (q, k, v, out, lse)
+    return _attention_xla(q, k, v), (q, k, v, None, None)
 
 
 def _attention_bwd(use_pallas, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
+    if lse is not None:
+        from tpugan.ops.pallas.attention import sagan_attention_bwd_pallas
+
+        return sagan_attention_bwd_pallas(q, k, v, out, lse, g)
     _, vjp = jax.vjp(_attention_xla, q, k, v)
     return vjp(g)
 

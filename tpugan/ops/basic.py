@@ -19,9 +19,12 @@ def pixel_norm(x: jax.Array, axis: int = -1, epsilon: float = 1e-8) -> jax.Array
     """x * rsqrt(mean(x^2) + eps) over the channel axis.
 
     Reference: model/stylegan1/net.py:28-29 (channel dim 1 in NCHW; here the
-    channel axis is last).
+    channel axis is last). Moments accumulate in fp32 regardless of input
+    dtype (bf16-safe: mean of squares underflows/rounds badly in bf16).
     """
-    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=axis, keepdims=True) + epsilon)
+    x32 = x.astype(jnp.float32)
+    r = jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=axis, keepdims=True) + epsilon)
+    return x * r.astype(x.dtype)
 
 
 def style_mod(x: jax.Array, style: jax.Array) -> jax.Array:
@@ -71,10 +74,11 @@ def instance_moments(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     Used both for instance norm and for the encoder's style statistics
     (model/E/E.py:51-53). x: [N, H, W, C] -> ([N, C], [N, C]).
     """
-    mean = jnp.mean(x, axis=(1, 2))
-    var = jnp.mean(jnp.square(x - mean[:, None, None, :]), axis=(1, 2))
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2))
+    var = jnp.mean(jnp.square(x32 - mean[:, None, None, :]), axis=(1, 2))
     std = jnp.sqrt(var)
-    return mean, std
+    return mean.astype(x.dtype), std.astype(x.dtype)
 
 
 def instance_norm(x: jax.Array, epsilon: float = 1e-8) -> jax.Array:
@@ -83,9 +87,10 @@ def instance_norm(x: jax.Array, epsilon: float = 1e-8) -> jax.Array:
     Matches torch.nn.InstanceNorm2d(eps=1e-8) as used throughout the
     reference (model/stylegan1/net.py:127,134; model/E/E.py:23,30).
     """
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + epsilon)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + epsilon)).astype(x.dtype)
 
 
 def minibatch_stddev(x: jax.Array, group_size: int = 4) -> jax.Array:

@@ -2,8 +2,11 @@
 
 The reference materialises the full (h*w) x (h*w/4) score matrix through
 torch.bmm (biggan_generator.py:85-92) — 4096x1024 fp32 per image at the
-256 model's attention layer. This kernel streams key/value tiles with an
-online softmax, so scores never hit HBM; queries are tiled over the grid.
+256 model's attention layer. These kernels stream key/value tiles with an
+online softmax, so scores never hit HBM in EITHER direction: the forward
+also emits the per-row logsumexp, and the backward kernels recompute
+p = exp(q k^T - lse) tile-by-tile for dq / dk / dv (classic
+FlashAttention backward, arXiv:2205.14135 §3.2).
 
 attention(q [N, Lq, dk], k [N, Lk, dk], v [N, Lk, dv]) -> [N, Lq, dv]
 with softmax over Lk — exactly ``softmax(q @ k^T) @ v`` (no 1/sqrt(dk)
@@ -31,7 +34,8 @@ def sagan_attention_pallas(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
-) -> jax.Array:
+    return_lse: bool = False,
+):
     n, lq, dk = q.shape
     _, lk, dk2 = k.shape
     _, lk2, dv = v.shape
@@ -42,8 +46,8 @@ def sagan_attention_pallas(
     assert lq % block_q == 0 and lk % block_k == 0, "sequence not tile-aligned"
     nk = lk // block_k
 
-    fn = functools.partial(_kernel, nk=nk, block_k=block_k)
-    out = pl.pallas_call(
+    fn = functools.partial(_fwd_kernel, nk=nk, block_k=block_k)
+    out, lse = pl.pallas_call(
         fn,
         grid=(n, lq // block_q),
         in_specs=[
@@ -51,17 +55,23 @@ def sagan_attention_pallas(
             pl.BlockSpec((1, lk, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, dv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, dv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, block_q, dv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, lq, dv), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, lq, dv), q.dtype),
+            jax.ShapeDtypeStruct((n, lq), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v)
+    if return_lse:
+        return out, lse
     return out
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, nk, block_k):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, nk, block_k):
     q = q_ref[0].astype(jnp.float32)  # [bq, dk]
     bq = q.shape[0]
     dv = v_ref.shape[-1]
@@ -85,3 +95,131 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, nk, block_k):
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, nk, body, (acc, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
+
+
+def sagan_attention_bwd_pallas(
+    q, k, v, o, lse, do,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    """Flash backward: (dq, dk, dv) with p recomputed per tile from lse.
+
+    delta = rowsum(do * o) is the softmax-jacobian correction term
+    (FlashAttention-2 eq. 19); computed outside the kernels (one fused
+    elementwise reduce, tiny).
+    """
+    n, lq, dk = q.shape
+    _, lk, dv = v.shape
+    block_q = min(block_q, lq)
+    block_k = min(block_k, lk)
+    assert lq % block_q == 0 and lk % block_k == 0
+    nq, nk = lq // block_q, lk // block_k
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [n, lq]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, nk=nk, block_k=block_k),
+        grid=(n, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, dv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, lq, dk), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, lse, delta, do)
+
+    dk_out, dv_out = pl.pallas_call(
+        functools.partial(_dkv_kernel, nq=nq, block_q=block_q),
+        grid=(n, nk),
+        in_specs=[
+            pl.BlockSpec((1, lq, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, dv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, lk, dk), k.dtype),
+            jax.ShapeDtypeStruct((n, lk, dv), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, lse, delta, do)
+    return dq, dk_out, dv_out
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, lse_ref, delta_ref, do_ref, dq_ref, *, nk, block_k):
+    q = q_ref[0].astype(jnp.float32)  # [bq, dk]
+    do = do_ref[0].astype(jnp.float32)  # [bq, dv]
+    lse = lse_ref[0][:, None]  # [bq, 1]
+    delta = delta_ref[0][:, None]  # [bq, 1]
+    dk_dim = q.shape[-1]
+    bq = q.shape[0]
+
+    def body(i, acc):
+        kt = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        vt = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, vt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        ds = p * (dp - delta)
+        return acc + jnp.dot(ds, kt, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, nk, body, jnp.zeros((bq, dk_dim), jnp.float32))
+    dq_ref[0] = acc.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, lse_ref, delta_ref, do_ref, dk_ref, dv_ref, *, nq, block_q):
+    kt = k_ref[0].astype(jnp.float32)  # [bk, dk]
+    vt = v_ref[0].astype(jnp.float32)  # [bk, dv]
+    bk, dk_dim = kt.shape
+    dv_dim = vt.shape[-1]
+
+    def body(j, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)  # [bq, dk]
+        do = do_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)  # [bq, dv]
+        lse = lse_ref[0, pl.ds(j * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(j * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        p = jnp.exp(s - lse)
+        # dv += p^T @ do
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, vt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        ds = p * (dp - delta)
+        # dk += ds^T @ q
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_acc, dv_acc
+
+    dk_acc = jnp.zeros((bk, dk_dim), jnp.float32)
+    dv_acc = jnp.zeros((bk, dv_dim), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, nq, body, (dk_acc, dv_acc))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)

@@ -60,6 +60,22 @@ class StepInfo(NamedTuple):
     loss_mtv: jax.Array
 
 
+def info_scalars(info) -> dict:
+    """Flatten a step-info NamedTuple into the reference's full scalar set
+    (~35 tensorboard scalars per iteration, E_align_cropping_s1.py:233-279):
+    every SpaceLossInfo field of every loss group, plus the totals. One
+    device_get for the whole tree — no per-scalar host syncs."""
+    host = jax.device_get(info)
+    out: dict = {}
+    for name, val in host._asdict().items():
+        if hasattr(val, "_asdict"):
+            for field, v in val._asdict().items():
+                out[f"{name}_{field}"] = float(v)
+        elif val is not None:
+            out[name] = float(val)
+    return out
+
+
 def attention_crops(imgs: jax.Array) -> tuple[jax.Array, jax.Array]:
     """AT1/AT2 center crops for aligned data (NHWC).
 
