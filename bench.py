@@ -66,7 +66,7 @@ def chip_peak_flops():
     return None
 
 
-def build_sg1_step(batch):
+def build_sg1_step(batch, bf16=False):
     from tpugan.models import Encoder, StyleGANv1Generator, StyleGANv1Mapping
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -90,8 +90,15 @@ def build_sg1_step(batch):
     coefs_tree = lreq_coef_tree(enc_vars["params"], enc_vars["lreq"])
     opt = lreq_adam(0.0015, coefs=coefs_tree)
     synth, resynth, frozen = build_stylegan1_pipeline(gen, gm, gen_vars, gm_vars, lod=LAYER_COUNT - 1)
+    encode = make_encode_fn(enc, {k: v for k, v in enc_vars.items() if k != "params"})
+    if bf16:
+        from tpugan.precision import bf16_encode, bf16_frozen, bf16_pipeline
+
+        synth, resynth = bf16_pipeline(synth, resynth)
+        encode = bf16_encode(encode)
+        frozen = bf16_frozen(frozen)
     step = make_train_step(
-        encode=make_encode_fn(enc, {k: v for k, v in enc_vars.items() if k != "params"}),
+        encode=encode,
         synth=synth,
         resynth=resynth,
         optimizer=opt,

@@ -1,6 +1,9 @@
 """bf16 generator-path validation (BASELINE.md gate: reconstruction
 SSIM/PSNR within +-0.5% of the fp32 pipeline)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

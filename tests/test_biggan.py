@@ -107,6 +107,7 @@ def test_genblock_channel_drop_and_upsample(rng):
     assert out.shape == (2, 8, 8, 8)
 
 
+@pytest.mark.slow
 def test_full_biggan_forward(rng):
     cfg = tiny_config()
     model = BigGAN(cfg)
@@ -128,6 +129,7 @@ def test_biggan_config_json_roundtrip(tmp_path):
     assert cfg2.attention_layer_position == 1
 
 
+@pytest.mark.slow
 def test_pg_encoder_shapes(rng):
     enc = PGEncoder(startf=64, maxf=512, layer_count=7, latent_size=512)
     x = jnp.zeros((2, 256, 256, 3))

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 TINY = ["--img_size", "16", "--start_features", "128", "--random_init"]
 

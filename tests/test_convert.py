@@ -3,6 +3,7 @@ tpugan pytrees -> forward parity vs torch re-derivations."""
 
 import math
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -122,6 +123,7 @@ def test_stylegan1_mapping_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stylegan2_converter_structure(rng):
     """Converted tree slots into the flax model (init-compatible shapes)."""
     gen = StyleGAN2Generator(resolution=16, fmaps_base=64, fmaps_max=16)
@@ -180,6 +182,7 @@ def test_fold_spectral_norm(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_encoder_converter_roundtrip(rng):
     from tpugan.models.encoders import Encoder
 

@@ -1,5 +1,6 @@
 """Encoder (BE family) structural + parity tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +18,7 @@ def to_nchw(x):
     return np.transpose(np.asarray(x), (0, 3, 1, 2))
 
 
+@pytest.mark.slow
 def test_encoder_shapes_case1():
     """BE for 256x256 (startf=64, layer_count=7): const [N,4,4,512], w [N,14,512]."""
     enc = Encoder(startf=64, maxf=512, layer_count=7, latent_size=512)
@@ -87,6 +89,7 @@ def test_encoder_w_ordering(rng):
     assert w.shape == (1, 6, 8)
 
 
+@pytest.mark.slow
 def test_encoder_blur_variant_shapes():
     """E_Blur at 1024: fused-scale convs at res >= 128."""
     enc = Encoder(startf=16, maxf=512, layer_count=9, use_blur=True)

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tpugan.eval.metrics import pair_metrics, psnr, ssim_uniform
 from tpugan.invert.edit import edit_latent
 from tpugan.io.image import (

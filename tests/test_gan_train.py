@@ -1,5 +1,8 @@
 """Adversarial (ALAE-style) GAN training tests."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

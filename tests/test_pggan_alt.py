@@ -1,5 +1,6 @@
 """Pro-GAN alternative stack tests (shapes, fade-in blending)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +42,7 @@ def test_progan_discriminator_and_conditional(rng):
     assert dc.apply(variables, x, labels=labels).shape == (2,)
 
 
+@pytest.mark.slow
 def test_progan_encoder_and_small(rng):
     enc = ProGANEncoder(height=5, feature_size=64)
     x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))

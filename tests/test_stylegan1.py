@@ -7,6 +7,7 @@ explicitly so both sides see identical randomness.
 
 import math
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -180,6 +181,7 @@ def test_discriminator_shapes():
     assert out.shape == (2, 1)
 
 
+@pytest.mark.slow
 def test_decode3_blob_removal_and_mapping_variants(rng):
     from tpugan.models.stylegan1 import (
         StyleGANv1Mapping2,

@@ -53,6 +53,7 @@ def test_attention_crops_match_reference_slices(rng):
 
 
 @pytest.mark.parametrize("case", [1, 2])
+@pytest.mark.slow
 def test_train_step_reduces_loss(case):
     step, state, frozen = _tiny_setup(case)
     step = jax.jit(step)
@@ -76,6 +77,7 @@ def test_case1_image_losses_carry_no_gradient():
     assert np.isfinite(float(info.loss_imgs.mse))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8_devices():
     import __graft_entry__ as ge
 

@@ -1,5 +1,8 @@
 """VGG16 / LPIPS / Grad-CAM tests, incl. converter parity vs torch."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -65,14 +65,12 @@ def main(argv=None):
     for iteration in range(args.iterations):
         state, info = jitted(state, jnp.int32(iteration), frozen, vgg_vars)
         if iteration % args.log_every == 0:
-            rec = {
-                "iteration": iteration,
-                "loss_tsa": float(info.loss_tsa),
-                "loss_mtv": float(info.loss_mtv),
-                "loss_mask_mse": float(info.loss_mask.mse),
-                "loss_gcam_mse": float(info.loss_gcam.mse),
-                "loss_w_mse": float(info.loss_w.mse),
-            }
+            from tpugan.train.e_align import info_scalars
+
+            # full per-group scalar set (E_mis_align_cropping_s1.py logs
+            # the same ~35 tensorboard scalars as the aligned script)
+            rec = {"iteration": iteration, "epoch": iteration // 30000}
+            rec.update(info_scalars(info))
             print(json.dumps(rec), flush=True)
             loss_log.write(json.dumps(rec) + "\n")
             loss_log.flush()
