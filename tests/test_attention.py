@@ -51,7 +51,9 @@ def test_flash_forward_lse(rng):
     )
     s = jnp.einsum("nqc,nkc->nqk", q, k)
     ref_lse = jax.scipy.special.logsumexp(s, axis=-1)
-    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(lse)[..., 0], np.asarray(ref_lse), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_flash_backward_matches_einsum_grads(rng):

@@ -45,6 +45,14 @@ def _attention_xla(q, k, v):
 # beyond it the op falls back to XLA rather than faulting the device
 _VMEM_BUDGET_BYTES = 48 * 1024 * 1024
 
+# measured on v5e at the BigGAN-256 attention shapes (2, 4096/1024, 64/256):
+# the flash kernels win the forward alone (979 vs 1221 us) but LOSE the
+# differentiated fwd+bwd (1413 vs 759 us) — XLA's fused einsum backward is
+# faster while the 4096x1024 score matrix is still cache-sized. The flash
+# backward therefore engages only when the score matrix is genuinely large
+# (where materialising it costs real HBM traffic/memory).
+_FLASH_BWD_MIN_SCORES = 64 * 1024 * 1024  # elements per batch item
+
 
 def _pallas_ok(q, k, v):
     lq, lk, dk, dv = q.shape[1], k.shape[1], q.shape[2], v.shape[2]
@@ -57,12 +65,17 @@ def _pallas_ok(q, k, v):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _attention(q, k, v, use_pallas):
-    out, _ = _attention_fwd(q, k, v, use_pallas)
-    return out
+    # primal (non-differentiated, eval/synthesis) path: flash forward wins
+    if use_pallas and _pallas_ok(q, k, v):
+        from tpugan.ops.pallas.attention import sagan_attention_pallas
+
+        return sagan_attention_pallas(q, k, v)
+    return _attention_xla(q, k, v)
 
 
 def _attention_fwd(q, k, v, use_pallas):
-    if use_pallas and _pallas_ok(q, k, v):
+    lq, lk = q.shape[1], k.shape[1]
+    if use_pallas and _pallas_ok(q, k, v) and lq * lk >= _FLASH_BWD_MIN_SCORES:
         from tpugan.ops.pallas.attention import sagan_attention_pallas
 
         out, lse = sagan_attention_pallas(q, k, v, return_lse=True)

@@ -57,11 +57,13 @@ def sagan_attention_pallas(
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, dv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            # TPU block tiling wants the trailing dims (8,128)-aligned or
+            # full — a trailing singleton keeps the row-vector legal
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, lq, dv), q.dtype),
-            jax.ShapeDtypeStruct((n, lq), jnp.float32),
+            jax.ShapeDtypeStruct((n, lq, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -95,7 +97,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, nk, block_k):
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, nk, body, (acc, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = m + jnp.log(l)
 
 
 def sagan_attention_bwd_pallas(
@@ -117,7 +119,9 @@ def sagan_attention_bwd_pallas(
     assert lq % block_q == 0 and lk % block_k == 0
     nq, nk = lq // block_q, lk // block_k
 
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [n, lq]
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [n, lq, 1]
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, nk=nk, block_k=block_k),
@@ -126,8 +130,8 @@ def sagan_attention_bwd_pallas(
             pl.BlockSpec((1, block_q, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, dv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -145,8 +149,8 @@ def sagan_attention_bwd_pallas(
             pl.BlockSpec((1, lq, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, dv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lq, dv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -166,8 +170,8 @@ def sagan_attention_bwd_pallas(
 def _dq_kernel(q_ref, k_ref, v_ref, lse_ref, delta_ref, do_ref, dq_ref, *, nk, block_k):
     q = q_ref[0].astype(jnp.float32)  # [bq, dk]
     do = do_ref[0].astype(jnp.float32)  # [bq, dv]
-    lse = lse_ref[0][:, None]  # [bq, 1]
-    delta = delta_ref[0][:, None]  # [bq, 1]
+    lse = lse_ref[0]  # [bq, 1]
+    delta = delta_ref[0]  # [bq, 1]
     dk_dim = q.shape[-1]
     bq = q.shape[0]
 
@@ -198,8 +202,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, lse_ref, delta_ref, do_ref, dk_ref, dv_ref,
         dk_acc, dv_acc = carry
         q = q_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)  # [bq, dk]
         do = do_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)  # [bq, dv]
-        lse = lse_ref[0, pl.ds(j * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(j * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(j * block_q, block_q), :]  # [bq, 1]
+        delta = delta_ref[0, pl.ds(j * block_q, block_q), :]
         s = jax.lax.dot_general(
             q, kt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk]
