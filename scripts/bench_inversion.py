@@ -1,0 +1,100 @@
+"""Real-image inversion throughput (BASELINE.md config 5).
+
+Times the jitted 100-iteration optimize-w chunk of invert/embedding on the
+StyleGANv1-1024 E_Blur pipeline (embedding_img.py defaults: batch 1,
+lr 0.01, 1500 iterations per image). Prints one JSON line with
+iterations/sec — the reference runs the same loop eagerly in torch with
+per-step host logging.
+
+Usage: python scripts/bench_inversion.py [--img_size 1024] [--bf16]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from tpugan.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img_size", type=int, default=1024)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--chunks", type=int, default=3)
+    args = ap.parse_args()
+
+    import math
+
+    from tpugan.invert import EmbeddingConfig, make_embedder
+    from tpugan.models import Encoder, StyleGANv1Generator, StyleGANv1Mapping
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.runtime import to_accelerator
+
+    layer_count = int(math.log2(args.img_size)) - 1
+    startf = {128: 128, 256: 64, 512: 32, 1024: 16}[args.img_size]
+    gen = StyleGANv1Generator(startf=startf, maxf=512, layer_count=layer_count, latent_size=512)
+    enc = Encoder(startf=startf, maxf=512, layer_count=layer_count,
+                  latent_size=512, use_blur=True)
+    key = jax.random.PRNGKey(0)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        gvars = jax.jit(gen.init)(
+            {"params": key, "noise": key}, jnp.zeros((1, 2 * layer_count, 512))
+        )
+        evars = jax.jit(enc.init)(
+            {"params": key, "noise": key}, jnp.zeros((1, args.img_size, args.img_size, 3))
+        )
+
+    def encode(params, imgs):
+        return enc.apply(
+            {**{k: v for k, v in evars.items() if k != "params"}, "params": params},
+            imgs, rngs={"noise": jax.random.PRNGKey(0)},
+        )
+
+    def resynth(frozen, w):
+        return gen.apply(frozen, w, layer_count - 1, rngs={"noise": jax.random.PRNGKey(0)})
+
+    frozen = gvars
+    if args.bf16:
+        from tpugan.precision import bf16_frozen, cast_floating
+
+        base_resynth = resynth
+
+        def resynth(frozen, w):
+            return base_resynth(frozen, w.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        frozen = bf16_frozen(frozen)
+
+    coefs = lreq_coef_tree(evars["params"], evars["lreq"])
+    cfg = EmbeddingConfig(iterations=100 * args.chunks, lr=0.01, optimize_e=False, chunk=100)
+    invert = make_embedder(encode, resynth, evars["params"], coefs, cfg, frozen=frozen)
+
+    imgs = to_accelerator(jax.random.normal(key, (1, args.img_size, args.img_size, 3)))
+    # warm (compile)
+    result = invert(imgs)
+    jax.block_until_ready(result.w)
+    t0 = time.perf_counter()
+    result = invert(imgs)
+    jax.block_until_ready(result.w)
+    dt = time.perf_counter() - t0
+    iters = cfg.iterations
+    print(json.dumps({
+        "metric": f"inversion_optimize_w_iters_per_sec_{args.img_size}",
+        "value": round(iters / dt, 2),
+        "unit": "iterations/sec/chip (batch 1)",
+        "ms_per_iteration": round(dt / iters * 1e3, 2),
+        "bf16": args.bf16,
+    }))
+
+
+if __name__ == "__main__":
+    main()

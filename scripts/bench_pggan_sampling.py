@@ -11,6 +11,9 @@ gen = PGGANGenerator(resolution=256)
 cpu = jax.local_devices(backend="cpu")[0]
 with jax.default_device(cpu):
     variables = jax.jit(gen.init)(jax.random.PRNGKey(0), jnp.zeros((1, 512)))
+# CPU-committed weights silently drag the jit onto the host — move them
+from tpugan.runtime import to_accelerator
+variables = to_accelerator(variables)
 
 @jax.jit
 def sample(variables, key):
