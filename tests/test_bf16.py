@@ -136,6 +136,51 @@ def test_bf16_training_trajectory_close():
     assert rel.max() < 0.05, (rel.max(), l16, l32)
 
 
+def test_bf16_pggan_synthesis_close():
+    """PGGAN sampling in bf16 stays within tolerance of fp32."""
+    from tpugan.models import PGGANGenerator
+
+    gen = PGGANGenerator(resolution=32, z_space_dim=64, fmaps_base=512, fmaps_max=64)
+    key = jax.random.PRNGKey(0)
+    variables = gen.init(key, jnp.zeros((1, 64)))
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 64))
+    img32 = gen.apply(variables, z)["image"]
+    img16 = gen.apply(
+        cast_floating(variables, jnp.bfloat16), z.astype(jnp.bfloat16)
+    )["image"].astype(jnp.float32)
+    err = np.abs(np.asarray(img16) - np.asarray(img32)).max()
+    scale = np.abs(np.asarray(img32)).max() + 1e-6
+    assert err / scale < 0.05, err / scale
+
+
+def test_bf16_biggan_synthesis_close():
+    """BigGAN-deep (cond BN truncation interpolation + SelfAttn) in bf16."""
+    from tpugan.models import BigGAN, BigGANConfig
+
+    cfg = BigGANConfig(
+        output_dim=32, z_dim=16, class_embed_dim=16, channel_width=8,
+        num_classes=10,
+        # last out_mul must be 1 (final BN is channel_width-wide) and
+        # ratios <=2 (GenBlock's channel-drop skip halves at most)
+        layers=[(False, 16, 16), (True, 16, 8), (True, 8, 4), (True, 4, 2),
+                (True, 2, 1)],
+        attention_layer_position=2,
+    )
+    model = BigGAN(cfg)
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.z_dim))
+    label = jax.nn.one_hot(jnp.array([1, 7]), cfg.num_classes)
+    variables = model.init(key, z, label, 0.4)
+    img32, cond32 = model.apply(variables, z, label, 0.4)
+    img16, cond16 = model.apply(
+        cast_floating(variables, jnp.bfloat16),
+        z.astype(jnp.bfloat16), label.astype(jnp.bfloat16), 0.4,
+    )
+    err = np.abs(np.asarray(img16, dtype=np.float32) - np.asarray(img32)).max()
+    # tanh output in [-1, 1]
+    assert err < 0.05, err
+
+
 def test_bf16_case2_train_step_close():
     """One case-2 train step with the bf16 generator: loss matches fp32
     closely and gradients stay fp32/finite."""

@@ -30,6 +30,9 @@ def main(argv=None):
     parser.add_argument("--norm_p", type=float, default=2.0)
     parser.add_argument("--gradcam", action="store_true",
                         help="grad-cam mask/overlay attention terms (embedding_v2_BigGAN)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 frozen-generator compute (+17%% iters/sec at 1024, "
+                             "parity-gated: tests/test_bf16.py)")
     parser.set_defaults(iterations=1500, lr=0.01, batch_size=1)
     args = parser.parse_args(argv)
 
@@ -54,6 +57,17 @@ def main(argv=None):
     def resynth(frozen, w):
         return bundle.resynth(frozen, w, None, jax.random.PRNGKey(0))
 
+    frozen_w = bundle.frozen
+    if args.bf16:
+        from tpugan.precision import bf16_frozen
+
+        base_resynth = resynth
+
+        def resynth(frozen, w):
+            return base_resynth(frozen, w.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        frozen_w = bf16_frozen(frozen_w)
+
     vgg = vgg_vars = None
     if args.gradcam:
         from tpugan.cli.common import build_vgg16_vars
@@ -73,7 +87,7 @@ def main(argv=None):
     invert = make_embedder(
         encode, resynth, bundle.enc_vars["params"], coefs, cfg,
         lpips_fn=build_lpips_fn(args),
-        vgg=vgg, vgg_vars=vgg_vars, frozen=bundle.frozen,
+        vgg=vgg, vgg_vars=vgg_vars, frozen=frozen_w,
     )
 
     images = load_image_dir(args.img_dir, args.img_size)
