@@ -172,16 +172,19 @@ def time_step(step, state, frozen, iters, device=None, want_flops=False):
         target = device or jax.devices()[0]
         state = jax.device_put(state, target)
         frozen = jax.device_put(frozen, target)
+        state0 = state
+        state, info = jitted(state, jnp.int32(0), frozen)  # compile + warm
+        jax.block_until_ready(state)
         flops = None
         if want_flops:
+            # after the warm call the persistent compilation cache serves
+            # this AOT lower+compile, so cost analysis costs ~nothing
             try:
-                compiled = jitted.lower(state, jnp.int32(0), frozen).compile()
+                compiled = jitted.lower(state0, jnp.int32(0), frozen).compile()
                 cost = compiled.cost_analysis() or {}
                 flops = float(cost.get("flops", 0.0)) or None
             except Exception:
                 flops = None
-        state, info = jitted(state, jnp.int32(0), frozen)  # compile + warm
-        jax.block_until_ready(state)
         t0 = time.perf_counter()
         for i in range(iters):
             state, info = jitted(state, jnp.int32(i), frozen)

@@ -35,7 +35,7 @@ def main():
     import math
 
     from tpugan.invert import EmbeddingConfig, make_embedder
-    from tpugan.models import Encoder, StyleGANv1Generator, StyleGANv1Mapping
+    from tpugan.models import Encoder, StyleGANv1Generator
     from tpugan.ops.eq_lr import lreq_coef_tree
     from tpugan.runtime import to_accelerator
 
@@ -65,7 +65,7 @@ def main():
 
     frozen = gvars
     if args.bf16:
-        from tpugan.precision import bf16_frozen, cast_floating
+        from tpugan.precision import bf16_frozen
 
         base_resynth = resynth
 

@@ -107,3 +107,73 @@ def test_train_step_seed_determinism():
     # different seed -> different batch -> different loss
     _, i3 = step(state, jnp.int32(124), frozen)
     assert float(i3.loss_tsa) != float(i1.loss_tsa)
+
+
+@pytest.mark.slow
+def test_biggan_encoder_sn_state_updates_during_training():
+    """The live spectral-norm u/v vectors power-iterate once per train step
+    (torch updates them on every training forward, custom spectral_norm
+    semantics) and sigma tracks the current kernel as it trains."""
+    import numpy as np
+
+    from tpugan.models import BigGAN, BigGANConfig, BigGANEncoder
+    from tpugan.nn.spectral import power_iterate
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.train import make_encode_fn, make_train_step
+    from tpugan.train.e_align import SynthBatch, init_train_state
+
+    cfg = BigGANConfig(
+        output_dim=32, z_dim=16, class_embed_dim=16, channel_width=4,
+        num_classes=10,
+        layers=[(False, 16, 16), (True, 16, 8), (True, 8, 4), (True, 4, 2),
+                (True, 2, 1)],
+        attention_layer_position=2,
+    )
+    model = BigGAN(cfg)
+    # 5 up-layers from 4x4 -> 64x64 images; 5 encoder blocks bring them
+    # back to 4x4
+    enc = BigGANEncoder(startf=16, maxf=64, layer_count=5, cond_dim=32, z_dim=16)
+    key = jax.random.PRNGKey(0)
+    z0 = jnp.zeros((2, 16))
+    l0 = jnp.zeros((2, 10))
+    gvars = model.init(key, z0, l0, 0.4)
+    evars = enc.init(
+        {"params": key, "noise": key}, jnp.zeros((2, 64, 64, 3)), jnp.zeros((2, 32))
+    )
+    assert "sn" in evars
+
+    def synth(frozen, k, z):
+        label = jax.nn.one_hot(jnp.zeros((z.shape[0],), jnp.int32), cfg.num_classes)
+        imgs1, cond = model.apply(frozen, z, label, 0.4)
+        return SynthBatch(w1=z, imgs1=imgs1, const1=cond, label=label)
+
+    def resynth(frozen, w2, batch, k):
+        imgs2, _ = model.apply(frozen, w2, batch.label, 0.4)
+        return imgs2
+
+    coefs = lreq_coef_tree(evars["params"], evars["lreq"])
+    opt = lreq_adam(0.0015, coefs=coefs)
+    step = jax.jit(make_train_step(
+        encode=make_encode_fn(enc, {k_: v for k_, v in evars.items() if k_ != "params"}),
+        synth=synth, resynth=resynth, optimizer=opt,
+        z_dim=16, batch_size=2, case=2,
+    ))
+    state = init_train_state(evars["params"], opt, sn=evars["sn"])
+
+    u0 = np.asarray(evars["sn"]["block_0"]["batch_norm_1"]["scale"]["u"]).copy()
+    for i in range(3):
+        state, info = step(state, jnp.int32(i), gvars)
+    u3 = np.asarray(state.sn["block_0"]["batch_norm_1"]["scale"]["u"])
+    assert not np.allclose(u0, u3), "sn u vector never updated during training"
+    assert np.isfinite(float(info.loss_tsa))
+
+    # after many pure power iterations, u converges to the principal
+    # vector: sigma == largest singular value of the current kernel
+    sn_conv = power_iterate(state.params, state.sn, n_iter=50)
+    kern = np.asarray(state.params["block_0"]["batch_norm_1"]["scale"]["kernel"])
+    u = np.asarray(sn_conv["block_0"]["batch_norm_1"]["scale"]["u"])
+    v = np.asarray(sn_conv["block_0"]["batch_norm_1"]["scale"]["v"])
+    sigma = v @ kern @ u
+    top = np.linalg.svd(kern, compute_uv=False)[0]
+    np.testing.assert_allclose(sigma, top, rtol=1e-3)

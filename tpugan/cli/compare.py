@@ -23,18 +23,9 @@ def main(argv=None):
 
     from tpugan.eval.compare import compare_dirs
 
-    lpips_fn = None
-    if not args.lpips_weights:
-        from tpugan.cli.common import warn_random_weights
+    from tpugan.cli.common import build_lpips_fn
 
-        warn_random_weights("lpips_weights", "the LPIPS column is DISABLED")
-    if args.lpips_weights:
-        from tpugan.io import convert
-        from tpugan.losses.lpips import make_lpips_fn
-
-        state = convert.load_torch_state_dict(args.lpips_weights)
-        params = {"params": jax.tree.map(jnp.asarray, convert.lpips_vgg(state))}
-        lpips_fn = make_lpips_fn(params)
+    lpips_fn = build_lpips_fn(args)
 
     result = compare_dirs(args.dir1, args.dir2, args.img_size, lpips_fn=lpips_fn)
     print(json.dumps(result))

@@ -119,7 +119,10 @@ def main(argv=None):
 
     name = f"mtype{args.mtype}-{args.img_size}-case{args.case}" + (f"-ab{ab}" if ab else "")
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
-    state = jax.device_put(init_train_state(bundle.enc_vars["params"], opt), placement)
+    state = jax.device_put(
+        init_train_state(bundle.enc_vars["params"], opt, sn=bundle.enc_vars.get("sn")),
+        placement,
+    )
 
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
     for iteration in range(args.iterations):

@@ -28,7 +28,6 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from tpugan.io.checkpoint import save_checkpoint
-    from tpugan.losses.vgg import VGG16
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
     from tpugan.train import make_encode_fn, make_mis_align_step
@@ -39,7 +38,7 @@ def main(argv=None):
     coefs = lreq_coef_tree(bundle.enc_vars["params"], bundle.enc_vars.get("lreq", {}))
     opt = lreq_adam(args.lr, coefs=coefs)
 
-    from tpugan.cli.common import build_vgg16_vars
+    from tpugan.cli.common import build_lpips_fn, build_vgg16_vars
 
     vgg, vgg_vars = build_vgg16_vars(args, args.img_size)
 
@@ -51,16 +50,17 @@ def main(argv=None):
         vgg=vgg,
         z_dim=bundle.z_dim,
         batch_size=args.batch_size,
+        lpips_fn=build_lpips_fn(args),
     )
     jitted = jax.jit(step)
     from tpugan.runtime import to_accelerator
+
     vgg_vars = to_accelerator(vgg_vars)
-    from tpugan.runtime import to_accelerator
     frozen = to_accelerator(bundle.frozen)
 
     name = f"mtype{args.mtype}-{args.img_size}-misalign"
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
-    state = to_accelerator(init_train_state(bundle.enc_vars["params"], opt))
+    state = to_accelerator(init_train_state(bundle.enc_vars["params"], opt, sn=bundle.enc_vars.get("sn")))
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
     for iteration in range(args.iterations):
         state, info = jitted(state, jnp.int32(iteration), frozen, vgg_vars)

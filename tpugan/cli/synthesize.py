@@ -31,9 +31,10 @@ def main(argv=None):
     enc_extra = {k: v for k, v in bundle.enc_vars.items() if k != "params"}
     encode_fn = make_encode_fn(bundle.encoder, enc_extra)
     synth_fn, resynth_fn, frozen_w = bundle.synth, bundle.resynth, bundle.frozen
-    if not args.fp32:
-        # frozen generators default to bf16 (VERDICT r1 item 6); recon
-        # SSIM/PSNR gated within +-0.5% of fp32
+    if not args.fp32 and jax.default_backend() == "tpu":
+        # frozen generators default to bf16 on TPU (recon SSIM/PSNR gated
+        # within +-0.5% of fp32); CPU/GPU backends emulate bf16 slowly,
+        # so they stay fp32 unless asked
         from tpugan.precision import bf16_frozen, bf16_pipeline
 
         synth_fn, resynth_fn = bf16_pipeline(synth_fn, resynth_fn)

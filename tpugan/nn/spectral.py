@@ -20,6 +20,35 @@ def _l2_normalize(x, eps):
     return x / (jnp.linalg.norm(x) + eps)
 
 
+def power_iterate(params, sn, n_iter: int = 1, eps: float = 1e-12):
+    """One (or n) power-iteration steps of every SNDense u/v pair in ``sn``
+    against the current kernels in ``params`` — the functional equivalent
+    of torch's in-place buffer update on each training forward.
+
+    The iteration touches only the kernel and the stored vectors (no
+    activations), so training steps refresh the ``sn`` collection with
+    this pure function and thread it through their state (see
+    EncoderTrainState.sn); gradients never flow into it (matching torch's
+    no_grad update).
+    """
+    if sn is None:
+        return None
+
+    def walk(p_node, s_node):
+        if isinstance(s_node, dict):
+            if set(s_node.keys()) == {"u", "v"}:
+                kernel = jax.lax.stop_gradient(p_node["kernel"])
+                u, v = s_node["u"], s_node["v"]
+                for _ in range(n_iter):
+                    v = _l2_normalize(kernel @ u, eps)
+                    u = _l2_normalize(v @ kernel, eps)
+                return {"u": u, "v": v}
+            return {k: walk(p_node[k], v_) for k, v_ in s_node.items()}
+        return s_node
+
+    return walk(params, sn)
+
+
 class SNDense(nn.Module):
     """Dense layer with spectral normalization — exact
     torch.nn.utils.spectral_norm semantics (n_power_iterations=1):

@@ -27,6 +27,16 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _fit_block(length, block):
+    """Largest block <= ``block`` that divides ``length`` (callers
+    guarantee length % 128 == 0, so this bottoms out at 128)."""
+    block = min(block, length)
+    while length % block:
+        block //= 2
+    assert block >= 128, (length, block)
+    return block
+
+
 def sagan_attention_pallas(
     q: jax.Array,
     k: jax.Array,
@@ -41,9 +51,8 @@ def sagan_attention_pallas(
     _, lk2, dv = v.shape
     assert dk == dk2 and lk == lk2
 
-    block_q = min(block_q, lq)
-    block_k = min(block_k, lk)
-    assert lq % block_q == 0 and lk % block_k == 0, "sequence not tile-aligned"
+    block_q = _fit_block(lq, block_q)
+    block_k = _fit_block(lk, block_k)
     nk = lk // block_k
 
     fn = functools.partial(_fwd_kernel, nk=nk, block_k=block_k)
@@ -114,9 +123,8 @@ def sagan_attention_bwd_pallas(
     """
     n, lq, dk = q.shape
     _, lk, dv = v.shape
-    block_q = min(block_q, lq)
-    block_k = min(block_k, lk)
-    assert lq % block_q == 0 and lk % block_k == 0
+    block_q = _fit_block(lq, block_q)
+    block_k = _fit_block(lk, block_k)
     nq, nk = lq // block_q, lk // block_k
 
     delta = jnp.sum(

@@ -65,13 +65,20 @@ def bf16_encode(encode):
     inside the ops (tpugan.ops.basic).
     """
 
-    def wrapped(params, batch, key):
+    import inspect
+
+    inner_accepts_sn = "sn" in inspect.signature(encode).parameters
+
+    def wrapped(params, batch, key, sn=None):
         p16 = cast_floating(params, jnp.bfloat16)
         batch16 = batch._replace(
             imgs1=batch.imgs1.astype(jnp.bfloat16),
             const1=batch.const1.astype(jnp.bfloat16),
         )
-        out = encode(p16, batch16, key)
+        if inner_accepts_sn:
+            out = encode(p16, batch16, key, sn)
+        else:
+            out = encode(p16, batch16, key)
         return cast_floating(out, jnp.float32)
 
     return wrapped

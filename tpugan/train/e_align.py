@@ -29,6 +29,7 @@ import optax
 from flax import struct
 
 from tpugan.losses.space_loss import SpaceLossInfo, space_loss
+from tpugan.nn.spectral import power_iterate
 from tpugan.models.encoders import Encoder
 from tpugan.models.stylegan1 import StyleGANv1Generator, StyleGANv1Mapping, truncation_coefs
 from tpugan.utils import iteration_key
@@ -38,6 +39,11 @@ class EncoderTrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     step: jax.Array
+    # live spectral-norm u/v vectors (BigGAN encoder's conditional BN);
+    # refreshed by one power iteration per step like torch's in-forward
+    # buffer update (nn/spectral.py::power_iterate). None for the other
+    # encoders.
+    sn: Any = None
 
 
 class SynthBatch(NamedTuple):
@@ -134,8 +140,10 @@ def make_encode_fn(encoder, enc_extra_vars):
 
     conditional = isinstance(encoder, BigGANEncoder)
 
-    def encode(params, batch: SynthBatch, key):
+    def encode(params, batch: SynthBatch, key, sn=None):
         variables = {**enc_extra_vars, "params": params}
+        if sn is not None:
+            variables = {**variables, "sn": sn}
         if conditional:
             return encoder.apply(
                 variables, batch.imgs1, batch.const1, rngs={"noise": key}
@@ -179,6 +187,10 @@ def make_train_step(
     (each scaled by 0.01 like the reference) and ``detach_image_losses``;
     None picks the case defaults.
     """
+    import inspect
+
+    # custom encode closures (ablation z re-mapping) may not take sn
+    accepts_sn = "sn" in inspect.signature(encode).parameters
     if image_weights is None:
         image_weights = (1.0, 1.0, 1.0) if case == 1 else (1.0, 5.0, 9.0)
     if latent_weights is None:
@@ -212,8 +224,10 @@ def make_train_step(
         def constrain(z, batch):
             return z, batch
 
-    def losses(params, frozen, batch: SynthBatch, key_enc, key_resynth):
-        const2, w2 = encode(params, batch, key_enc)
+    def losses(params, frozen, batch: SynthBatch, key_enc, key_resynth, sn=None):
+        const2, w2 = encode(params, batch, key_enc, sn) if accepts_sn else encode(
+            params, batch, key_enc
+        )
         imgs2 = resynth(frozen, w2, batch, key_resynth)
 
         if detach_image_losses:
@@ -259,10 +273,15 @@ def make_train_step(
         batch = jax.lax.stop_gradient(synth(frozen, kg1, z))
         z, batch = constrain(z, batch)
 
+        # torch updates the spectral-norm u/v on each training forward
+        # (no_grad); the functional equivalent is one power iteration per
+        # step against the current kernels, threaded through the state
+        sn = power_iterate(state.params, state.sn)
+
         if case == 1:
             # image losses carry no gradient; single effective update on mtv
             def mtv_loss(p):
-                _, loss_mtv, info = losses(p, frozen, batch, ke, kg2)
+                _, loss_mtv, info = losses(p, frozen, batch, ke, kg2, sn)
                 return loss_mtv, info
 
             (_, info), grads = jax.value_and_grad(mtv_loss, has_aux=True)(state.params)
@@ -271,11 +290,11 @@ def make_train_step(
         else:
             # two sequential updates, both gradients at the initial params
             def tsa_loss(p):
-                loss_tsa, _, info = losses(p, frozen, batch, ke, kg2)
+                loss_tsa, _, info = losses(p, frozen, batch, ke, kg2, sn)
                 return loss_tsa, info
 
             def mtv_loss(p):
-                _, loss_mtv, _ = losses(p, frozen, batch, ke, kg2)
+                _, loss_mtv, _ = losses(p, frozen, batch, ke, kg2, sn)
                 return loss_mtv
 
             (_, info), g_tsa = jax.value_and_grad(tsa_loss, has_aux=True)(state.params)
@@ -285,12 +304,16 @@ def make_train_step(
             updates, opt_state = optimizer.update(g_mtv, opt_state, params)
             params = optax.apply_updates(params, updates)
 
-        return state.replace(params=params, opt_state=opt_state, step=state.step + 1), info
+        return (
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1, sn=sn),
+            info,
+        )
 
     return step
 
 
-def init_train_state(params, optimizer) -> EncoderTrainState:
+def init_train_state(params, optimizer, sn=None) -> EncoderTrainState:
     return EncoderTrainState(
-        params=params, opt_state=optimizer.init(params), step=jnp.zeros([], jnp.int32)
+        params=params, opt_state=optimizer.init(params),
+        step=jnp.zeros([], jnp.int32), sn=sn,
     )

@@ -56,6 +56,10 @@ def make_mis_align_step(
     VGG16 weights are ~550 MB as baked-in constants, which overflows
     program-upload limits — as an argument they stay device-resident."""
 
+    import inspect
+
+    accepts_sn = "sn" in inspect.signature(encode).parameters
+
     def step(state: EncoderTrainState, iteration, frozen, vgg_vars):
         def attention(images):
             mask = grad_cam(vgg, vgg_vars, images, plus_plus=True)  # [N,H,W,1]
@@ -67,8 +71,14 @@ def make_mis_align_step(
         z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
         batch = jax.lax.stop_gradient(synth(frozen, kg1, z))
 
+        from tpugan.nn.spectral import power_iterate
+
+        sn = power_iterate(state.params, state.sn)
+
         def losses(params):
-            const2, w2 = encode(params, batch, ke)
+            const2, w2 = (
+                encode(params, batch, ke, sn) if accepts_sn else encode(params, batch, ke)
+            )
             imgs2 = resynth(frozen, w2, batch, kg2)
             i1 = jax.lax.stop_gradient(batch.imgs1)
             i2 = jax.lax.stop_gradient(imgs2)
@@ -98,6 +108,9 @@ def make_mis_align_step(
         (_, info), grads = jax.value_and_grad(losses, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return state.replace(params=params, opt_state=opt_state, step=state.step + 1), info
+        return (
+            state.replace(params=params, opt_state=opt_state, step=state.step + 1, sn=sn),
+            info,
+        )
 
     return step
