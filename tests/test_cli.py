@@ -241,3 +241,36 @@ def test_synthesize_cli_biggan(tmp_path):
          "--config_dir", cfg_path, "--experiment_dir", exp]
     )
     assert "seed30000.png" in os.listdir(os.path.join(exp, "imgs"))
+
+
+def test_embedding_cli_biggan_optimize_e(tmp_path):
+    """mtype-4 inversion: fixed class condition, conditional encoder with
+    live spectral norm, fine-tune-E mode (embedding_v2_BigGAN.py)."""
+    from tpugan.cli.embedding import main
+    from tpugan.io.image import save_image
+    from tpugan.models import BigGANConfig
+
+    cfg = BigGANConfig(
+        output_dim=16, z_dim=8, class_embed_dim=8, channel_width=4,
+        num_classes=10,
+        layers=[(False, 16, 16), (True, 16, 8), (False, 8, 4), (True, 4, 2), (False, 2, 1)],
+        attention_layer_position=1,
+    )
+    cfg_path = str(tmp_path / "biggan.json")
+    open(cfg_path, "w").write(cfg.to_json_string())
+
+    img_dir = str(tmp_path / "imgs_in")
+    os.makedirs(img_dir)
+    rngs = np.random.RandomState(0)
+    save_image(os.path.join(img_dir, "0.png"), rngs.rand(16, 16, 3).astype(np.float32))
+
+    exp = str(tmp_path / "exp_embed_big")
+    main(
+        ["--mtype", "4", "--img_size", "16", "--z_dim", "8", "--random_init",
+         "--iterations", "2", "--batch_size", "1", "--optimizeE", "true",
+         "--class_id", "3", "--img_dir", img_dir, "--experiment_dir", exp,
+         "--start_features", "128", "--config_dir", cfg_path]
+    )
+    assert os.path.exists(os.path.join(exp, "models", "w_all.npy"))
+    w_all = np.load(os.path.join(exp, "models", "w_all.npy"))
+    assert w_all.shape[-1] == 8  # BigGAN z head

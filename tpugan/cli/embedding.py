@@ -30,6 +30,9 @@ def main(argv=None):
     parser.add_argument("--norm_p", type=float, default=2.0)
     parser.add_argument("--gradcam", action="store_true",
                         help="grad-cam mask/overlay attention terms (embedding_v2_BigGAN)")
+    parser.add_argument("--class_id", type=int, default=30,
+                        help="BigGAN fixed class id for the inversion condition "
+                             "(embedding_v2_BigGAN.py:36, 30 = frog)")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 frozen-generator compute (+17%% iters/sec at 1024, "
                              "parity-gated: tests/test_bf16.py)")
@@ -48,14 +51,40 @@ def main(argv=None):
     enc_extra = {k: v for k, v in bundle.enc_vars.items() if k != "params"}
     coefs = lreq_coef_tree(bundle.enc_vars["params"], bundle.enc_vars.get("lreq", {}))
 
-    def encode(params, imgs):
+    # BigGAN inversion conditions: fixed class id, cond_vector built once
+    # from truncated z + class embedding (embedding_v2_BigGAN.py:36-47)
+    cond_vector = batch_shim = None
+    if args.mtype == 4:
+        from types import SimpleNamespace
+
+        from tpugan.utils import one_hot, truncated_noise_sample
+
+        embed_kernel = bundle.frozen["params"]["embeddings"]["kernel"]
+        num_classes = embed_kernel.shape[0]
+        label = one_hot(
+            jnp.full((args.batch_size,), args.class_id), num_classes
+        )
+        zt = truncated_noise_sample(
+            jax.random.PRNGKey(args.iterations % 30000),
+            args.batch_size, bundle.z_dim, 0.4,
+        )
+        cond_vector = jnp.concatenate([zt, label @ embed_kernel], axis=1)
+        batch_shim = SimpleNamespace(label=label)
+
+    def encode(params, imgs, sn=None):
+        variables = {**enc_extra, "params": params}
+        if sn is not None:
+            variables = {**variables, "sn": sn}
+        if cond_vector is not None:
+            return bundle.encoder.apply(
+                variables, imgs, cond_vector, rngs={"noise": jax.random.PRNGKey(0)}
+            )
         return bundle.encoder.apply(
-            {**enc_extra, "params": params}, imgs,
-            rngs={"noise": jax.random.PRNGKey(0)},
+            variables, imgs, rngs={"noise": jax.random.PRNGKey(0)}
         )
 
     def resynth(frozen, w):
-        return bundle.resynth(frozen, w, None, jax.random.PRNGKey(0))
+        return bundle.resynth(frozen, w, batch_shim, jax.random.PRNGKey(0))
 
     frozen_w = bundle.frozen
     if args.bf16:
@@ -88,6 +117,7 @@ def main(argv=None):
         encode, resynth, bundle.enc_vars["params"], coefs, cfg,
         lpips_fn=build_lpips_fn(args),
         vgg=vgg, vgg_vars=vgg_vars, frozen=frozen_w,
+        sn0=bundle.enc_vars.get("sn"),
     )
 
     images = load_image_dir(args.img_dir, args.img_size)

@@ -66,6 +66,7 @@ def make_embedder(
     vgg=None,
     vgg_vars=None,
     frozen: Any = None,
+    sn0: Any = None,
 ):
     """Build ``invert(imgs) -> InversionResult`` for one image batch.
 
@@ -80,14 +81,27 @@ def make_embedder(
     payload limits for the 1024² models.
     """
 
-    def iteration_losses(opt_target, imgs1, const2_fixed, base_params, frozen_w, vgg_w):
+    import inspect
+
+    accepts_sn = "sn" in inspect.signature(encode).parameters
+
+    def apply_encode(params, imgs, sn):
+        if accepts_sn:
+            return encode(params, imgs, sn)
+        return encode(params, imgs)
+
+    def iteration_losses(opt_target, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn):
         if cfg.optimize_e:
-            const2, w1 = encode(opt_target, imgs1)
+            const2, w1 = apply_encode(opt_target, imgs1, sn)
         else:
             w1 = opt_target
             const2 = const2_fixed  # encoded once per batch (:77)
         imgs2 = resynth(frozen_w, w1)
-        const3, w2 = encode(base_params, imgs2)
+        # the reference re-encodes imgs2 with the SAME live E being
+        # fine-tuned (embedding_img.py:86-88, one module); only the
+        # optimize-w mode uses the frozen base encoder
+        enc_for_w2 = opt_target if cfg.optimize_e else base_params
+        const3, w2 = apply_encode(enc_for_w2, imgs2, sn)
 
         l_imgs, i_imgs = space_loss(imgs1, imgs2, lpips_fn=lpips_fn)
         if cfg.attention == "gradcam":
@@ -125,13 +139,19 @@ def make_embedder(
     opt = lreq_adam(cfg.lr, coefs=enc_coefs if cfg.optimize_e else None, beta2=cfg.beta2)
 
     @jax.jit
-    def run_chunk(target, opt_state, imgs1, const2_fixed, base_params, frozen_w, vgg_w):
+    def run_chunk(target, opt_state, sn, imgs1, const2_fixed, base_params, frozen_w, vgg_w):
+        from tpugan.nn.spectral import power_iterate
+
         def one_iteration(carry, _):
-            target, opt_state = carry
+            target, opt_state, sn = carry
+            if cfg.optimize_e and sn is not None:
+                # live spectral norm: one power iteration per training
+                # forward, like torch (nn/spectral.py::power_iterate)
+                sn = power_iterate(target, sn)
 
             def msiv(t):
                 a, b, aux = iteration_losses(
-                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w
+                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn
                 )
                 return a, (b, aux)
 
@@ -141,39 +161,41 @@ def make_embedder(
 
             def mslv(t):
                 _, b, _ = iteration_losses(
-                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w
+                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn
                 )
                 return b
 
             l_mslv, g2 = jax.value_and_grad(mslv)(target)
             updates, opt_state = opt.update(g2, opt_state, target)
             target = optax.apply_updates(target, updates)
-            return (target, opt_state), (l_msiv, l_mslv)
+            return (target, opt_state, sn), (l_msiv, l_mslv)
 
-        (target, opt_state), hist = jax.lax.scan(
-            one_iteration, (target, opt_state), None, length=cfg.chunk
+        (target, opt_state, sn), hist = jax.lax.scan(
+            one_iteration, (target, opt_state, sn), None, length=cfg.chunk
         )
-        return target, opt_state, hist
+        return target, opt_state, sn, hist
 
     def invert(imgs1: jax.Array) -> InversionResult:
-        const2_fixed, w0 = encode(base_enc_params, imgs1)
+        const2_fixed, w0 = apply_encode(base_enc_params, imgs1, sn0)
         const2_fixed = jax.lax.stop_gradient(const2_fixed)
         if cfg.optimize_e:
             target = base_enc_params  # fresh reload per batch (:82)
         else:
             target = jax.lax.stop_gradient(w0)
         opt_state = opt.init(target)
+        sn = sn0  # fresh per batch, like the reloaded E weights
 
         history = []
         n_chunks = max(1, cfg.iterations // cfg.chunk)
         for _ in range(n_chunks):
-            target, opt_state, hist = run_chunk(
-                target, opt_state, imgs1, const2_fixed, base_enc_params, frozen, vgg_vars
+            target, opt_state, sn, hist = run_chunk(
+                target, opt_state, sn, imgs1, const2_fixed, base_enc_params,
+                frozen, vgg_vars,
             )
             history.append(jax.tree.map(lambda h: h[-1], hist))
 
         if cfg.optimize_e:
-            _, w_final = encode(target, imgs1)
+            _, w_final = apply_encode(target, imgs1, sn)
         else:
             w_final = target
         imgs_rec = resynth(frozen, w_final)
