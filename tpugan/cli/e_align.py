@@ -103,7 +103,7 @@ def main(argv=None):
         latent_weights=latent_weights,
         remat=args.remat,
     )
-    jitted = jax.jit(step)
+    jitted = jax.jit(step, donate_argnums=(0,))
     frozen = bundle.frozen
     if args.bf16:
         from tpugan.precision import bf16_frozen
