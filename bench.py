@@ -192,11 +192,17 @@ def time_step(step, state, frozen, iters, device=None, want_flops=False):
                 flops = float(cost.get("flops", 0.0)) or None
             except Exception:
                 flops = None
-        t0 = time.perf_counter()
-        for i in range(iters):
-            state, info = jitted(state, jnp.int32(i), frozen)
-        jax.block_until_ready(state)
-        dt = (time.perf_counter() - t0) / iters
+        # best-of-3 windows: the shared axon TPU link has multi-minute
+        # degraded throughput windows (observed 3x swings with identical
+        # executables); the fastest window reflects the hardware
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                state, info = jitted(state, jnp.int32(i), frozen)
+            jax.block_until_ready(state)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        dt = best
     return dt, flops
 
 
