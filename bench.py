@@ -270,6 +270,15 @@ def main():
             )
         except Exception as e:  # never lose the primary line
             extras.append({"metric": "e_align_b32", "error": str(e)[:200]})
+        # bf16 variant of the primary config (+9%, parity-gated)
+        try:
+            stepb, stateb, frozenb = build_sg1_step(BATCH, bf16=True)
+            dtb, flopsb = time_step(stepb, stateb, frozenb, iters=30, want_flops=True)
+            eb = metric_entry("e_align_train_images_per_sec_256_bf16", BATCH, dtb, flopsb, peak)
+            eb["dtype"] = "bfloat16 compute, fp32 master/norms"
+            extras.append(eb)
+        except Exception as e:
+            extras.append({"metric": "e_align_256_bf16", "error": str(e)[:200]})
         # flagship heavy config: SG2-1024 case-2 E_Blur (fp32 and bf16)
         try:
             step2, state2, frozen2 = build_sg2_step(batch=2, res=1024)
