@@ -1,0 +1,101 @@
+"""BigGAN-deep 256 encoder training throughput (BASELINE.md config 4).
+
+Full-size biggan-deep-256 architecture (channel_width 128, 1000 classes,
+SelfAttn at 64x64 -> the 4096x1024 attention) with the conditional E_BIG
+encoder, random-init weights, batch 2 — the reference's
+E_align_cropping_s1.py --mtype 4 configuration. Prints one JSON line.
+
+Usage: python scripts/bench_biggan256.py [--batch 2] [--bf16]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from tpugan.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+
+    import bench
+    from tpugan.models import BigGAN, BigGANConfig, BigGANEncoder
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.train import make_encode_fn, make_train_step
+    from tpugan.train.e_align import SynthBatch, init_train_state
+    from tpugan.utils import one_hot, truncated_noise_sample
+
+    # biggan-deep-256 layout (biggan_generator.py:33-46 zoo)
+    cfg = BigGANConfig(
+        output_dim=256, z_dim=128, class_embed_dim=128, channel_width=128,
+        num_classes=1000,
+        layers=[(False, 16, 16), (True, 16, 16), (False, 16, 16), (True, 16, 8),
+                (False, 8, 8), (True, 8, 8), (False, 8, 8), (True, 8, 4),
+                (False, 4, 4), (True, 4, 2), (False, 2, 2), (True, 2, 1)],
+        attention_layer_position=8,
+    )
+    model = BigGAN(cfg)
+    enc = BigGANEncoder(startf=64, maxf=512, layer_count=7, cond_dim=256, z_dim=128)
+    key = jax.random.PRNGKey(0)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        gvars = jax.jit(lambda z, l: model.init(key, z, l, 0.4))(
+            jnp.zeros((1, 128)), jnp.zeros((1, 1000))
+        )
+        evars = jax.jit(
+            lambda x, c: enc.init({"params": key, "noise": key}, x, c)
+        )(jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256)))
+
+    truncation = 0.4
+
+    def synth(frozen, k, z):
+        kz, kl = jax.random.split(k)
+        zt = truncated_noise_sample(kz, z.shape[0], cfg.z_dim, truncation)
+        flag = jax.random.randint(kl, (), 0, cfg.num_classes)
+        label = one_hot(jnp.full((z.shape[0],), flag), cfg.num_classes)
+        imgs1, cond = model.apply(frozen, zt, label, truncation)
+        return SynthBatch(w1=zt, imgs1=imgs1, const1=cond, label=label)
+
+    def resynth(frozen, w2, batch, k):
+        imgs2, _ = model.apply(frozen, w2, batch.label, truncation)
+        return imgs2
+
+    encode = make_encode_fn(enc, {k_: v for k_, v in evars.items() if k_ != "params"})
+    if args.bf16:
+        from tpugan.precision import bf16_encode, bf16_frozen, bf16_pipeline
+
+        synth, resynth = bf16_pipeline(synth, resynth)
+        encode = bf16_encode(encode)
+        gvars = bf16_frozen(gvars)
+
+    coefs = lreq_coef_tree(evars["params"], evars["lreq"])
+    opt = lreq_adam(0.0015, coefs=coefs)
+    step = make_train_step(
+        encode=encode, synth=synth, resynth=resynth, optimizer=opt,
+        z_dim=cfg.z_dim, batch_size=args.batch, case=1,
+    )
+    state = init_train_state(evars["params"], opt, sn=evars.get("sn"))
+    peak = bench.chip_peak_flops()
+    dt, flops = bench.time_step(step, state, gvars, iters=args.iters, want_flops=True)
+    entry = bench.metric_entry(
+        "e_big_align_train_images_per_sec_256", args.batch, dt, flops, peak
+    )
+    entry["bf16"] = args.bf16
+    print(json.dumps(entry))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,10 @@ class BigGANBatchNorm(nn.Module):
         else:
             mean = running_means[start_idx]
             var = running_vars[start_idx]
+        # buffers stay fp32; cast the stats so bf16 activations don't
+        # promote back to fp32 (the interp itself is constant folding)
+        mean = mean.astype(x.dtype)
+        var = var.astype(x.dtype)
 
         if self.conditional:
             assert condition_vector is not None

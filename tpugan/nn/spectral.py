@@ -92,7 +92,10 @@ class SNDense(nn.Module):
             v = jax.lax.stop_gradient(_l2_normalize(kernel @ u, self.eps))
             u = jax.lax.stop_gradient(_l2_normalize(v @ kernel, self.eps))
             u_var.value, v_var.value = u, v
-        sigma = v @ kernel @ u
+        # u/v persist in fp32; sigma math in fp32, the normalized kernel
+        # back in the compute dtype so bf16 inputs don't promote
+        k32 = kernel.astype(jnp.float32)
+        sigma = (v.astype(jnp.float32) @ k32 @ u.astype(jnp.float32)).astype(kernel.dtype)
         y = x @ (kernel / sigma)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
