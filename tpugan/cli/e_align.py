@@ -119,9 +119,14 @@ def main(argv=None):
 
     name = f"mtype{args.mtype}-{args.img_size}-case{args.case}" + (f"-ab{ab}" if ab else "")
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
+    # copy the sn collection into the state: the jitted step donates the
+    # state buffers, and aliasing them with enc_extra's captured sn would
+    # leave the logging path holding deleted arrays
+    sn0 = bundle.enc_vars.get("sn")
+    if sn0 is not None:
+        sn0 = jax.tree.map(jnp.array, sn0)
     state = jax.device_put(
-        init_train_state(bundle.enc_vars["params"], opt, sn=bundle.enc_vars.get("sn")),
-        placement,
+        init_train_state(bundle.enc_vars["params"], opt, sn=sn0), placement
     )
 
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
@@ -144,7 +149,10 @@ def main(argv=None):
             kz, kg1, ke, kg2 = jax.random.split(key, 4)
             z = jax.random.normal(kz, (args.batch_size, bundle.z_dim))
             batch = synth_fn(frozen, kg1, z)
-            _, w2 = encode_used(state.params, batch, ke)
+            try:  # live spectral-norm state when the encoder carries one
+                _, w2 = encode_used(state.params, batch, ke, state.sn)
+            except TypeError:
+                _, w2 = encode_used(state.params, batch, ke)
             imgs2 = resynth_fn(frozen, w2, batch, kg2)
             import numpy as np
 
