@@ -551,3 +551,54 @@ def test_lreq_adam_trace_parity():
             np.asarray(params["bias"]), layer.bias.detach().numpy(),
             rtol=1e-5, atol=1e-6, err_msg=f"step {step}",
         )
+
+
+def test_build_bundle_loads_biggan_encoder_checkpoint(tmp_path):
+    """--checkpoint_dir_E reaches the mtype-4 bundle: a torch E_BIG state
+    dict is converted and installed (params + sn + buffers), not ignored."""
+    import argparse
+
+    from model.E.E_BIG import BE as BE_BIG
+
+    from tpugan.cli.common import build_bundle
+    from tpugan.models import BigGANConfig
+
+    ref = BE_BIG(startf=128, maxf=512, layer_count=3, latent_size=512,
+                 channels=3, biggan=True)
+    seed_state(ref, 77, std=0.05)
+    with torch.no_grad():
+        for name, b in ref.named_buffers():
+            if name.endswith("running_vars"):
+                b.abs_().add_(0.5)
+        ref.train()
+        with RandnRecorder(seed=0):
+            ref(torch.randn(1, 3, 16, 16), torch.randn(1, 256), block_num=9)
+    e_path = str(tmp_path / "E_big.pth")
+    torch.save(ref.state_dict(), e_path)
+
+    cfg = BigGANConfig(
+        output_dim=16, z_dim=128, class_embed_dim=128, channel_width=4,
+        num_classes=10,
+        layers=[(False, 16, 16), (True, 16, 8), (False, 8, 4), (True, 4, 2),
+                (False, 2, 1)],
+        attention_layer_position=1,
+    )
+    cfg_path = str(tmp_path / "biggan.json")
+    open(cfg_path, "w").write(cfg.to_json_string())
+
+    args = argparse.Namespace(
+        mtype=4, img_size=16, z_dim=128, start_features=128, seed=0,
+        random_init=True, checkpoint_dir_GAN=None, config_dir=cfg_path,
+        checkpoint_dir_E=e_path, ablation=0,
+    )
+    bundle = build_bundle(args)
+
+    from tpugan.io import convert
+
+    expected = convert.biggan_encoder(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, 3
+    )
+    got = np.asarray(bundle.enc_vars["params"]["block_0"]["conv_1"]["kernel"])
+    np.testing.assert_allclose(got, expected["params"]["block_0"]["conv_1"]["kernel"])
+    got_u = np.asarray(bundle.enc_vars["sn"]["block_0"]["batch_norm_1"]["scale"]["u"])
+    np.testing.assert_allclose(got_u, expected["sn"]["block_0"]["batch_norm_1"]["scale"]["u"])

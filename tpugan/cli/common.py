@@ -187,6 +187,12 @@ def build_bundle(args) -> GanBundle:
         with jax.default_device(cpu):
             img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
             enc_vars = jax.jit(enc.init)({"params": key, "noise": key}, img0)
+        if args.checkpoint_dir_E:
+            e_state = convert.load_torch_state_dict(args.checkpoint_dir_E)
+            enc_vars = {
+                **enc_vars,
+                "params": jax.tree.map(jnp.asarray, convert.encoder(e_state, layer_count)),
+            }
         return GanBundle(
             synth, resynth, enc, enc_vars, 512, layer_count, 2 * layer_count, variables
         )
@@ -221,6 +227,12 @@ def build_bundle(args) -> GanBundle:
         with jax.default_device(cpu):
             img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
             enc_vars = jax.jit(enc.init)({"params": key, "noise": key}, img0)
+        if args.checkpoint_dir_E:
+            e_state = convert.load_torch_state_dict(args.checkpoint_dir_E)
+            enc_vars = {
+                **enc_vars,
+                "params": jax.tree.map(jnp.asarray, convert.pg_encoder(e_state, layer_count)),
+            }
         return GanBundle(
             synth, resynth, enc, enc_vars, args.z_dim, layer_count, 2 * layer_count, variables
         )
@@ -249,9 +261,11 @@ def build_bundle(args) -> GanBundle:
 
         def synth(frozen, keyk, z):
             # BigGAN path draws truncated z and a shared random class
-            # (E_align_cropping_s1.py:140-150)
+            # (E_align_cropping_s1.py:140-150); z's dtype carries the
+            # compute precision chosen by the bf16 wrapper
             kz, kl = jax.random.split(keyk)
             zt = truncated_noise_sample(kz, z.shape[0], cfg.z_dim, truncation)
+            zt = zt.astype(z.dtype)
             flag = jax.random.randint(kl, (), 0, cfg.num_classes)
             label = one_hot(jnp.full((z.shape[0],), flag), cfg.num_classes)
             imgs1, cond = model.apply(frozen, zt, label, truncation)
@@ -270,6 +284,13 @@ def build_bundle(args) -> GanBundle:
             img0 = jnp.zeros((1, args.img_size, args.img_size, 3))
             c0 = jnp.zeros((1, 2 * cfg.z_dim))
             enc_vars = jax.jit(lambda x, c: enc.init({"params": key, "noise": key}, x, c))(img0, c0)
+        if args.checkpoint_dir_E:
+            e_state = convert.load_torch_state_dict(args.checkpoint_dir_E)
+            converted = convert.biggan_encoder(e_state, layer_count)
+            enc_vars = {
+                **enc_vars,
+                **jax.tree.map(jnp.asarray, converted),
+            }
         return GanBundle(
             synth, resynth, enc, enc_vars, cfg.z_dim, layer_count, 2 * layer_count, variables
         )

@@ -82,6 +82,9 @@ def main(argv=None):
 
     mesh = make_mesh(space=args.space_shards) if len(jax.devices()) > 1 else None
     encode_used = encode_fn or make_encode_fn(bundle.encoder, enc_extra)
+    from tpugan.nn.spectral import encode_accepts_sn as _accepts_sn
+
+    encode_accepts_sn = _accepts_sn(encode_used)
     resynth_fn = bundle.resynth
     if args.bf16:
         from tpugan.precision import bf16_encode, bf16_pipeline
@@ -119,14 +122,9 @@ def main(argv=None):
 
     name = f"mtype{args.mtype}-{args.img_size}-case{args.case}" + (f"-ab{ab}" if ab else "")
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
-    # copy the sn collection into the state: the jitted step donates the
-    # state buffers, and aliasing them with enc_extra's captured sn would
-    # leave the logging path holding deleted arrays
-    sn0 = bundle.enc_vars.get("sn")
-    if sn0 is not None:
-        sn0 = jax.tree.map(jnp.array, sn0)
     state = jax.device_put(
-        init_train_state(bundle.enc_vars["params"], opt, sn=sn0), placement
+        init_train_state(bundle.enc_vars["params"], opt, sn=bundle.enc_vars.get("sn")),
+        placement,
     )
 
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
@@ -149,9 +147,9 @@ def main(argv=None):
             kz, kg1, ke, kg2 = jax.random.split(key, 4)
             z = jax.random.normal(kz, (args.batch_size, bundle.z_dim))
             batch = synth_fn(frozen, kg1, z)
-            try:  # live spectral-norm state when the encoder carries one
+            if encode_accepts_sn:  # live spectral-norm state if carried
                 _, w2 = encode_used(state.params, batch, ke, state.sn)
-            except TypeError:
+            else:
                 _, w2 = encode_used(state.params, batch, ke)
             imgs2 = resynth_fn(frozen, w2, batch, kg2)
             import numpy as np

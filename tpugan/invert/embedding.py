@@ -81,9 +81,9 @@ def make_embedder(
     payload limits for the 1024² models.
     """
 
-    import inspect
+    from tpugan.nn.spectral import encode_accepts_sn
 
-    accepts_sn = "sn" in inspect.signature(encode).parameters
+    accepts_sn = encode_accepts_sn(encode)
 
     def apply_encode(params, imgs, sn):
         if accepts_sn:

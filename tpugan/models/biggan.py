@@ -255,7 +255,11 @@ class BigGAN(nn.Module):
     @nn.compact
     def __call__(self, z, class_label, truncation: float):
         assert 0 < truncation <= 1
-        embed = nn.Dense(self.config.z_dim, use_bias=False, name="embeddings")(class_label)
+        # the one-hot label follows z's dtype so bf16 compute does not
+        # promote the cond_vector back to fp32
+        embed = nn.Dense(self.config.z_dim, use_bias=False, name="embeddings")(
+            class_label.astype(z.dtype)
+        )
         cond_vector = jnp.concatenate([z, embed], axis=1)
         image = BigGANGenerator(self.config, name="generator")(cond_vector, truncation)
         return image, cond_vector

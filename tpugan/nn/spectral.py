@@ -20,6 +20,15 @@ def _l2_normalize(x, eps):
     return x / (jnp.linalg.norm(x) + eps)
 
 
+def encode_accepts_sn(encode) -> bool:
+    """Whether an encode closure takes the live spectral-norm collection
+    as its trailing ``sn`` argument (the threading convention used by the
+    train steps, the bf16 wrapper and the embedder)."""
+    import inspect
+
+    return "sn" in inspect.signature(encode).parameters
+
+
 def power_iterate(params, sn, n_iter: int = 1, eps: float = 1e-12):
     """One (or n) power-iteration steps of every SNDense u/v pair in ``sn``
     against the current kernels in ``params`` — the functional equivalent

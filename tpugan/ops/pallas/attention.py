@@ -55,17 +55,31 @@ def sagan_attention_pallas(
     block_k = _fit_block(lk, block_k)
     nk = lk // block_k
 
-    fn = functools.partial(_fwd_kernel, nk=nk, block_k=block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, dv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, block_q, dv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if not return_lse:
+        # primal/eval path: no logsumexp output — skip the per-row log
+        # and the (N, Lq, 1) HBM write entirely
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, nk=nk, block_k=block_k, with_lse=False),
+            grid=(n, lq // block_q),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n, lq, dv), q.dtype),
+            compiler_params=params,
+            interpret=interpret,
+        )(q, k, v)
     out, lse = pl.pallas_call(
-        fn,
+        functools.partial(_fwd_kernel, nk=nk, block_k=block_k, with_lse=True),
         grid=(n, lq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, dv), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, block_q, dv), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            out_spec,
             # TPU block tiling wants the trailing dims (8,128)-aligned or
             # full — a trailing singleton keeps the row-vector legal
             pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -74,15 +88,15 @@ def sagan_attention_pallas(
             jax.ShapeDtypeStruct((n, lq, dv), q.dtype),
             jax.ShapeDtypeStruct((n, lq, 1), jnp.float32),
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=params,
         interpret=interpret,
     )(q, k, v)
-    if return_lse:
-        return out, lse
-    return out
+    return out, lse
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, nk, block_k):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, nk, block_k, with_lse=True):
+    if not with_lse:
+        lse_ref = None
     q = q_ref[0].astype(jnp.float32)  # [bq, dk]
     bq = q.shape[0]
     dv = v_ref.shape[-1]
@@ -106,7 +120,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, nk, block_k):
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, nk, body, (acc, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)
+    if lse_ref is not None:
+        lse_ref[0] = m + jnp.log(l)
 
 
 def sagan_attention_bwd_pallas(

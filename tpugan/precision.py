@@ -65,9 +65,9 @@ def bf16_encode(encode):
     inside the ops (tpugan.ops.basic).
     """
 
-    import inspect
+    from tpugan.nn.spectral import encode_accepts_sn
 
-    inner_accepts_sn = "sn" in inspect.signature(encode).parameters
+    inner_accepts_sn = encode_accepts_sn(encode)
 
     def wrapped(params, batch, key, sn=None):
         p16 = cast_floating(params, jnp.bfloat16)

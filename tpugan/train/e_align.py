@@ -187,10 +187,10 @@ def make_train_step(
     (each scaled by 0.01 like the reference) and ``detach_image_losses``;
     None picks the case defaults.
     """
-    import inspect
+    from tpugan.nn.spectral import encode_accepts_sn
 
     # custom encode closures (ablation z re-mapping) may not take sn
-    accepts_sn = "sn" in inspect.signature(encode).parameters
+    accepts_sn = encode_accepts_sn(encode)
     if image_weights is None:
         image_weights = (1.0, 1.0, 1.0) if case == 1 else (1.0, 5.0, 9.0)
     if latent_weights is None:
@@ -313,6 +313,11 @@ def make_train_step(
 
 
 def init_train_state(params, optimizer, sn=None) -> EncoderTrainState:
+    if sn is not None:
+        # private copy: train steps donate the state, and aliasing the
+        # caller's sn buffers (also captured in encoder closures) would
+        # leave them deleted after the first step
+        sn = jax.tree.map(jnp.array, sn)
     return EncoderTrainState(
         params=params, opt_state=optimizer.init(params),
         step=jnp.zeros([], jnp.int32), sn=sn,

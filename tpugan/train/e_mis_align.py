@@ -56,9 +56,9 @@ def make_mis_align_step(
     VGG16 weights are ~550 MB as baked-in constants, which overflows
     program-upload limits — as an argument they stay device-resident."""
 
-    import inspect
+    from tpugan.nn.spectral import encode_accepts_sn
 
-    accepts_sn = "sn" in inspect.signature(encode).parameters
+    accepts_sn = encode_accepts_sn(encode)
 
     def step(state: EncoderTrainState, iteration, frozen, vgg_vars):
         def attention(images):
