@@ -602,3 +602,91 @@ def test_build_bundle_loads_biggan_encoder_checkpoint(tmp_path):
     np.testing.assert_allclose(got, expected["params"]["block_0"]["conv_1"]["kernel"])
     got_u = np.asarray(bundle.enc_vars["sn"]["block_0"]["batch_norm_1"]["scale"]["u"])
     np.testing.assert_allclose(got_u, expected["sn"]["block_0"]["batch_norm_1"]["scale"]["u"])
+
+
+# ---------------------------------------------------------------------------
+# Ablation encoders (model/E/Ablation_Study/*)
+# ---------------------------------------------------------------------------
+
+
+def _run_ours_ablation(ref, enc_kwargs, img, noise=None, latent=512):
+    from tpugan.models.encoders import Encoder
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert.encoder(state, layer_count=enc_kwargs["layer_count"])
+    ours = Encoder(latent_size=latent, **enc_kwargs)
+    return ours.apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, to_nhwc(img), noise=noise
+    )
+
+
+def test_e_blur_w_ablation_parity():
+    """E_Blur_W (ablation 3): E_Blur without noise injection."""
+    from model.E.Ablation_Study.E_Blur_W import BE
+
+    kwargs = dict(startf=2, maxf=8, layer_count=9, use_blur=True, use_noise=False)
+    ref = BE(startf=2, maxf=8, layer_count=9, latent_size=512, channels=3)
+    seed_state(ref, 81)
+    ref.eval()
+    img = torch.randn(1, 3, 1024, 1024, generator=torch.Generator().manual_seed(82))
+    with torch.no_grad():
+        x_ref, w_ref = ref(img, block_num=9)
+    const, w = _run_ours_ablation(ref, kwargs, img)
+    np.testing.assert_allclose(to_nchw(const), x_ref.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(w), w_ref.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_e_blur_w2_ablation_parity():
+    """E_Blur_W_2 (ablation 2): both heads exist, the POST-conv w2 fills
+    both slots of each block's style pair (E_Blur_W_2.py:130)."""
+    from model.E.Ablation_Study.E_Blur_W_2 import BE
+
+    kwargs = dict(startf=2, maxf=8, layer_count=9, use_blur=True,
+                  use_noise=False, style_mode="single")
+    ref = BE(startf=2, maxf=8, layer_count=9, latent_size=512, channels=3)
+    seed_state(ref, 83)
+    ref.eval()
+    img = torch.randn(1, 3, 1024, 1024, generator=torch.Generator().manual_seed(84))
+    with torch.no_grad():
+        x_ref, w_ref = ref(img, block_num=9)
+    const, w = _run_ours_ablation(ref, kwargs, img)
+    np.testing.assert_allclose(to_nchw(const), x_ref.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(w), w_ref.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_e_blur_z_ablation_parity():
+    """E_Blur_Z (ablation 1): no style heads, stride-2 out_z conv on the
+    final 4x4x512 features."""
+    from model.E.Ablation_Study.E_Blur_Z import BE
+
+    kwargs = dict(startf=2, maxf=512, layer_count=9, use_blur=True,
+                  use_noise=False, style_mode="none", z_head=True)
+    ref = BE(startf=2, maxf=512, layer_count=9, latent_size=512, channels=3)
+    seed_state(ref, 85, std=0.05)
+    ref.eval()
+    img = torch.randn(1, 3, 1024, 1024, generator=torch.Generator().manual_seed(86))
+    with torch.no_grad():
+        z_ref, _ = ref(img, block_num=9)  # [1, 512, 1, 1]
+    _, z = _run_ours_ablation(ref, kwargs, img)
+    np.testing.assert_allclose(
+        np.asarray(z), z_ref.reshape(1, 512).numpy(), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_e_v2_std_ablation_parity():
+    """E_v2_std: std-only style statistics feed half-width inver_mods."""
+    from model.E.Ablation_Study.E_v2_std import BE
+
+    kwargs = dict(startf=2, maxf=8, layer_count=9, use_blur=True,
+                  style_stats="std")
+    ref = BE(startf=2, maxf=8, layer_count=9, latent_size=512, channels=3)
+    seed_state(ref, 87)
+    ref.eval()
+    img = torch.randn(2, 3, 1024, 1024, generator=torch.Generator().manual_seed(88))
+    with torch.no_grad(), RandnRecorder() as rec:
+        x_ref, w_ref = ref(img, block_num=9)
+    const, w = _run_ours_ablation(
+        ref, kwargs, img, noise=rec.block_noise([2] * 8 + [1])
+    )
+    np.testing.assert_allclose(to_nchw(const), x_ref.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(w), w_ref.numpy(), rtol=2e-3, atol=2e-4)

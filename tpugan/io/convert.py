@@ -335,6 +335,12 @@ def encoder(state: Dict[str, np.ndarray], layer_count: int) -> Dict[str, Any]:
                 "bias": state[src + "conv_3.bias"],
             }
         p[f"block_{i}"] = blk
+    if "out_z.weight" in state:
+        # E_Blur_Z z head (Ablation_Study/E_Blur_Z.py:102 ln.Conv2d(512,512,3,2))
+        p["out_z"] = {
+            "kernel": conv_w(state["out_z.weight"]),
+            "bias": state["out_z.bias"],
+        }
     return p
 
 

@@ -6,7 +6,9 @@ TPU-native rebuild of /root/reference/model/E/:
     adds a binomial blur before the downsampling conv and switches to
     fused-scale (stride-2, transform-kernel) convs at resolutions >= 128
   * ablation variants (model/E/Ablation_Study/*) via flags:
-    use_noise=False -> E_Blur_W; style_mode="single" -> E_Blur_W_2;
+    use_noise=False -> E_Blur_W; style_mode="single" (+use_noise=False)
+    -> E_Blur_W_2 (both inver_mods exist; the post-conv w2 fills both
+    slots, E_Blur_W_2.py:130);
     style_mode="none" -> E_Blur_Z (z head only)
 
 Each block mirrors a generator DecodeBlock in reverse: it reads the
@@ -65,7 +67,10 @@ class EncoderBlock(nn.Module):
         def stats(y):
             mean, std = instance_moments(y)
             if self.style_stats == "std":
-                return std  # E_v2_std.py:57 (std-only inver_mod input)
+                # E_v2_std.py:56 uses torch's x.std((2,3)) — UNBIASED,
+                # unlike the biased formula in E.py:52-53
+                nhw = y.shape[1] * y.shape[2]
+                return std * jnp.sqrt(nhw / max(nhw - 1, 1))
             return jnp.concatenate([mean, std], axis=-1)
 
         if emit_styles:
@@ -85,10 +90,12 @@ class EncoderBlock(nn.Module):
         b1 = self.param("bias_1", nn.initializers.zeros, (cin,))
         x = leaky_relu(x + b1, 0.2)
 
-        if emit_styles and self.style_mode == "dual":
+        if emit_styles:
             w2 = EqLinear(self.latent_size, gain=1.0, name="inver_mod2")(stats(x))
-        elif emit_styles:
-            w2 = w1
+            if self.style_mode == "single":
+                # E_Blur_W_2 keeps BOTH heads but its BE forward emits the
+                # post-conv w2 twice (Ablation_Study/E_Blur_W_2.py:130)
+                w1 = w2
 
         x = instance_norm(x)
         if self.has_last_conv:
