@@ -1,4 +1,4 @@
-"""Benchmark harness: training throughput with MFU accounting.
+"""Benchmark harness: training throughput with MFU + roofline accounting.
 
 Measures (on the current accelerator):
   1. flagship case-1 E_align train step (StyleGANv1 Cat256: --mtype 1,
@@ -7,18 +7,24 @@ Measures (on the current accelerator):
   2. the StyleGANv2 FFHQ1024 case-2 E_Blur train step (--mtype 2,
      --start_features 16) — the heavy config.
 
+Every step is measured with the LPIPS/VGG perceptual term IN the step —
+the reference computes LPIPS on the full image and both attention crops
+every iteration (training_utils.py:92-95, E_align_cropping_s1.py:98), six
+VGG16 passes per step; random-weight heads cost exactly what trained ones
+cost, so the measured workload matches the reference's.
+
 Prints ONE JSON line. The primary metric stays
 ``e_align_train_images_per_sec_256`` for cross-round comparability; the
 additional metrics ride in the ``extra`` list. Every metric carries:
   * ``mfu``: model FLOPs utilization = XLA-counted FLOPs/step (from
-    ``compiled.cost_analysis()``) / step time / chip peak. Peak is the
-    bf16 MXU peak for the detected chip (fp32 math, so this is the
-    honest headroom number, not a flattering fp32 denominator).
-  * ``flops_per_step`` and ``ms_per_step``.
+    ``compiled.cost_analysis()``) / step time / chip bf16 MXU peak (the
+    honest headroom number even for fp32 math).
+  * ``hbm_frac``: XLA-counted bytes accessed / step time / chip HBM
+    bandwidth — the roofline side BASELINE.md argues with.
+  * ``flops_per_step``, ``bytes_per_step``, ``ms_per_step``.
 
-vs_baseline is the per-chip speedup over the same jitted step executed on
-the host CPU (cached in bench_baseline.json — the reference repo publishes
-no numbers, BASELINE.md).
+(The round-1/2 ``vs_baseline`` host-CPU denominator was dropped: the
+reference publishes no numbers, so the meaningful fields are mfu/hbm_frac.)
 
 Env: TPUGAN_BENCH_FAST=1 skips the batch-32 and SG2-1024 extras.
 """
@@ -39,14 +45,12 @@ enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 
-BASELINE_FILE = pathlib.Path(__file__).resolve().parent / "bench_baseline.json"
-
 LAYER_COUNT = 7  # 256x256
 STARTF = 64
 LATENT = 512
 BATCH = 2
 
-# bf16 MXU peak per chip (jax-ml.github.io/scaling-book numbers)
+# bf16 MXU peak / HBM bandwidth per chip (jax-ml.github.io/scaling-book)
 _PEAK_FLOPS = {
     "TPU v5 lite": 197e12,  # v5e
     "TPU v5e": 197e12,
@@ -56,17 +60,45 @@ _PEAK_FLOPS = {
     "TPU v6 lite": 918e12,  # Trillium
     "TPU v6e": 918e12,
 }
+_HBM_BW = {
+    "TPU v5 lite": 819e9,  # v5e
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,  # v5p
+    "TPU v5p": 2765e9,
+    "TPU v4": 1228e9,
+    "TPU v6 lite": 1640e9,  # Trillium
+    "TPU v6e": 1640e9,
+}
 
 
-def chip_peak_flops():
+def _lookup(table):
     kind = jax.devices()[0].device_kind
-    for name, peak in _PEAK_FLOPS.items():
+    for name, val in table.items():
         if kind.startswith(name):
-            return peak
+            return val
     return None
 
 
-def build_sg1_step(batch, bf16=False):
+def chip_peak_flops():
+    return _lookup(_PEAK_FLOPS)
+
+
+def chip_hbm_bw():
+    return _lookup(_HBM_BW)
+
+
+def bench_lpips_fn():
+    """Random-weight LPIPS heads: same FLOPs/bytes as trained weights, so
+    the measured step carries the reference's real per-iteration workload
+    (six VGG16 passes: full image + both crops, each on a and b)."""
+    from tpugan.losses.lpips import make_lpips_fn, random_params
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = random_params(jax.random.PRNGKey(7))
+    return make_lpips_fn(jax.device_put(params, jax.devices()[0]))
+
+
+def build_sg1_step(batch, bf16=False, lpips_fn=None):
     from tpugan.models import Encoder, StyleGANv1Generator, StyleGANv1Mapping
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -105,12 +137,14 @@ def build_sg1_step(batch, bf16=False):
         z_dim=LATENT,
         batch_size=batch,
         case=1,
+        lpips_fn=lpips_fn,
     )
     state = init_train_state(enc_vars["params"], opt)
     return step, state, frozen
 
 
-def build_sg2_step(batch=2, res=1024, bf16=False, enc_bf16=False, remat=False):
+def build_sg2_step(batch=2, res=1024, bf16=False, enc_bf16=False, remat=False,
+                   lpips_fn=None):
     from tpugan.models import Encoder, StyleGAN2Generator
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -158,6 +192,7 @@ def build_sg2_step(batch=2, res=1024, bf16=False, enc_bf16=False, remat=False):
         batch_size=batch,
         case=2,
         remat=remat,
+        lpips_fn=lpips_fn,
     )
     state = init_train_state(evars["params"], opt)
     return step, state, gvars
@@ -182,7 +217,7 @@ def time_step(step, state, frozen, iters, device=None, want_flops=False):
         )
         state, info = jitted(state, jnp.int32(0), frozen)  # compile + warm
         jax.block_until_ready(state)
-        flops = None
+        flops = nbytes = None
         if want_flops:
             # after the warm call the persistent compilation cache serves
             # this AOT lower+compile, so cost analysis costs ~nothing
@@ -190,8 +225,9 @@ def time_step(step, state, frozen, iters, device=None, want_flops=False):
                 compiled = jitted.lower(*specs).compile()
                 cost = compiled.cost_analysis() or {}
                 flops = float(cost.get("flops", 0.0)) or None
+                nbytes = float(cost.get("bytes accessed", 0.0)) or None
             except Exception:
-                flops = None
+                flops = nbytes = None
         # best-of-3 windows: the shared axon TPU link has multi-minute
         # degraded throughput windows (observed 3x swings with identical
         # executables); the fastest window reflects the hardware
@@ -203,7 +239,7 @@ def time_step(step, state, frozen, iters, device=None, want_flops=False):
             jax.block_until_ready(state)
             best = min(best, (time.perf_counter() - t0) / iters)
         dt = best
-    return dt, flops
+    return dt, flops, nbytes
 
 
 class _nullcontext:
@@ -214,7 +250,8 @@ class _nullcontext:
         return False
 
 
-def metric_entry(name, batch, dt, flops, peak, unit="images/sec/chip"):
+def metric_entry(name, batch, dt, flops, peak, nbytes=None, bw=None,
+                 unit="images/sec/chip"):
     entry = {
         "metric": name,
         "value": round(batch / dt, 3),
@@ -225,74 +262,66 @@ def metric_entry(name, batch, dt, flops, peak, unit="images/sec/chip"):
         entry["flops_per_step"] = flops
         if peak:
             entry["mfu"] = round(flops / dt / peak, 4)
+    if nbytes:
+        entry["bytes_per_step"] = nbytes
+        if bw:
+            entry["hbm_frac"] = round(nbytes / dt / bw, 4)
     return entry
 
 
 def main():
     fast = os.environ.get("TPUGAN_BENCH_FAST", "0") == "1"
     peak = chip_peak_flops()
+    bw = chip_hbm_bw()
+    lpips_fn = bench_lpips_fn()
 
-    step, state, frozen = build_sg1_step(BATCH)
-    dt, flops = time_step(step, state, frozen, iters=30, want_flops=True)
-    images_per_sec = BATCH / dt
+    step, state, frozen = build_sg1_step(BATCH, lpips_fn=lpips_fn)
+    dt, flops, nb = time_step(step, state, frozen, iters=30, want_flops=True)
 
-    if BASELINE_FILE.exists():
-        cpu_images_per_sec = json.loads(BASELINE_FILE.read_text())["cpu_images_per_sec"]
-    else:
-        cpu_dt, _ = time_step(step, state, frozen, iters=2, device=jax.local_devices(backend="cpu")[0])
-        cpu_images_per_sec = BATCH / cpu_dt
-        BASELINE_FILE.write_text(
-            json.dumps(
-                {
-                    "config": "stylegan1-cat256 e_align case1 train step, batch 2, fp32",
-                    "cpu_images_per_sec": cpu_images_per_sec,
-                    "note": "host-CPU throughput of the identical jitted step; "
-                    "reference repo publishes no numbers (BASELINE.md)",
-                }
-            )
-        )
-
-    result = metric_entry("e_align_train_images_per_sec_256", BATCH, dt, flops, peak)
-    result["vs_baseline"] = round(images_per_sec / cpu_images_per_sec, 3)
+    result = metric_entry("e_align_train_images_per_sec_256", BATCH, dt, flops, peak, nb, bw)
     result["dtype"] = "float32"
+    result["workload"] = "lpips-in-step (6 VGG16 passes/iter, reference parity)"
     if peak:
         result["peak_flops_bf16"] = peak
+        result["hbm_bytes_per_sec"] = bw
         result["device_kind"] = jax.devices()[0].device_kind
 
     extras = []
     if not fast:
         # best-throughput batch for the same config (BASELINE.md scaling)
         try:
-            step32, state32, frozen32 = build_sg1_step(32)
-            dt32, flops32 = time_step(step32, state32, frozen32, iters=10, want_flops=True)
+            step32, state32, frozen32 = build_sg1_step(32, lpips_fn=lpips_fn)
+            dt32, flops32, nb32 = time_step(step32, state32, frozen32, iters=10, want_flops=True)
             extras.append(
-                metric_entry("e_align_train_images_per_sec_256_b32", 32, dt32, flops32, peak)
+                metric_entry("e_align_train_images_per_sec_256_b32", 32, dt32, flops32, peak, nb32, bw)
             )
         except Exception as e:  # never lose the primary line
             extras.append({"metric": "e_align_b32", "error": str(e)[:200]})
-        # bf16 variant of the primary config (+9%, parity-gated)
+        # bf16 variant of the primary config (parity-gated)
         try:
-            stepb, stateb, frozenb = build_sg1_step(BATCH, bf16=True)
-            dtb, flopsb = time_step(stepb, stateb, frozenb, iters=30, want_flops=True)
-            eb = metric_entry("e_align_train_images_per_sec_256_bf16", BATCH, dtb, flopsb, peak)
+            stepb, stateb, frozenb = build_sg1_step(BATCH, bf16=True, lpips_fn=lpips_fn)
+            dtb, flopsb, nbb = time_step(stepb, stateb, frozenb, iters=30, want_flops=True)
+            eb = metric_entry("e_align_train_images_per_sec_256_bf16", BATCH, dtb, flopsb, peak, nbb, bw)
             eb["dtype"] = "bfloat16 compute, fp32 master/norms"
             extras.append(eb)
         except Exception as e:
             extras.append({"metric": "e_align_256_bf16", "error": str(e)[:200]})
         # flagship heavy config: SG2-1024 case-2 E_Blur (fp32 and bf16)
         try:
-            step2, state2, frozen2 = build_sg2_step(batch=2, res=1024)
-            dt2, flops2 = time_step(step2, state2, frozen2, iters=8, want_flops=True)
+            step2, state2, frozen2 = build_sg2_step(batch=2, res=1024, lpips_fn=lpips_fn)
+            dt2, flops2, nb2 = time_step(step2, state2, frozen2, iters=8, want_flops=True)
             extras.append(
-                metric_entry("e_blur_case2_train_images_per_sec_1024", 2, dt2, flops2, peak)
+                metric_entry("e_blur_case2_train_images_per_sec_1024", 2, dt2, flops2, peak, nb2, bw)
             )
         except Exception as e:
             extras.append({"metric": "sg2_1024_case2", "error": str(e)[:200]})
         try:
-            step3, state3, frozen3 = build_sg2_step(batch=2, res=1024, bf16=True, enc_bf16=True)
-            dt3, flops3 = time_step(step3, state3, frozen3, iters=8, want_flops=True)
+            step3, state3, frozen3 = build_sg2_step(
+                batch=2, res=1024, bf16=True, enc_bf16=True, lpips_fn=lpips_fn
+            )
+            dt3, flops3, nb3 = time_step(step3, state3, frozen3, iters=8, want_flops=True)
             e3 = metric_entry(
-                "e_blur_case2_train_images_per_sec_1024_bf16", 2, dt3, flops3, peak
+                "e_blur_case2_train_images_per_sec_1024_bf16", 2, dt3, flops3, peak, nb3, bw
             )
             e3["dtype"] = "bfloat16 compute, fp32 master/norms"
             extras.append(e3)

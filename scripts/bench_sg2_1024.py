@@ -92,7 +92,6 @@ def main():
                 "metric": f"e_blur_case2_train_images_per_sec_{res}",
                 "value": round(batch / dt, 3),
                 "unit": "images/sec/chip",
-                "vs_baseline": 0.0,
                 "ms_per_step": round(dt * 1e3, 1),
                 "loss_tsa": float(info.loss_tsa),
             }

@@ -44,6 +44,16 @@ sys.modules["botocore.exceptions"] = _botocore_exc
 _tqdm = _stub_module("tqdm")
 _tqdm.tqdm = lambda *a, **k: (a[0] if a else None)
 sys.modules["tqdm"] = _tqdm
+if "torchvision" not in sys.modules:
+    # training_utils.py imports torchvision only for imgPath2loader's
+    # transform pipeline, which these tests never call
+    _tv = _stub_module("torchvision")
+    _tv_tf = _stub_module("torchvision.transforms")
+    _tv_tf.Compose = lambda fns: (lambda x: x)
+    _tv_tf.ToTensor = lambda: (lambda x: x)
+    _tv.transforms = _tv_tf
+    sys.modules["torchvision"] = _tv
+    sys.modules["torchvision.transforms"] = _tv_tf
 
 import jax
 import jax.numpy as jnp
@@ -690,3 +700,153 @@ def test_e_v2_std_ablation_parity():
     )
     np.testing.assert_allclose(to_nchw(const), x_ref.numpy(), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(w), w_ref.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_e_v1_ablation_parity():
+    """E_v1: pre-residual block ordering (conv before IN, resnet-style
+    residual with affine IN on the conv_3 path, no 0.111 mix)."""
+    from model.E.Ablation_Study.E_v1 import BE
+
+    kwargs = dict(startf=2, maxf=8, layer_count=9, block_version=1)
+    ref = BE(startf=2, maxf=8, layer_count=9, latent_size=512, channels=3)
+    seed_state(ref, 89)
+    ref.eval()
+    img = torch.randn(2, 3, 1024, 1024, generator=torch.Generator().manual_seed(90))
+    with torch.no_grad(), RandnRecorder() as rec:
+        x_ref, w_ref = ref(img, block_num=9)
+    const, w = _run_ours_ablation(ref, kwargs, img, noise=rec.block_noise([2] * 8 + [1]))
+    np.testing.assert_allclose(to_nchw(const), x_ref.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(w), w_ref.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_space_loss_latent_parity():
+    """Latent-space space_loss vs the reference's own function, covering
+    torch's implicit-softmax-dim quirk for 2-D ([N,C] -> dim 1; BigGAN
+    cond-vector/const losses) and 3-D ([N,18,512] -> dim 0) inputs
+    (training_utils.py:68-71)."""
+    import training_utils as ref_tu
+
+    from tpugan.losses.space_loss import space_loss
+
+    rng = np.random.RandomState(91)
+    for shape in [(4, 256), (2, 512), (2, 18, 512)]:
+        a = rng.randn(*shape).astype(np.float32)
+        b = rng.randn(*shape).astype(np.float32)
+        ref_total, ref_info = ref_tu.space_loss(
+            torch.from_numpy(a), torch.from_numpy(b), image_space=False
+        )
+        total, info = space_loss(jnp.asarray(a), jnp.asarray(b), image_space=False)
+        np.testing.assert_allclose(float(total), ref_total.item(), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(info.kl), ref_info[1], rtol=1e-4, atol=1e-8)
+        np.testing.assert_allclose(float(info.mse), ref_info[0][0], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(float(info.mse_std), ref_info[0][2], rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(float(info.cosine), ref_info[2], rtol=1e-4, atol=1e-6)
+
+
+def test_inversion_trajectory_parity():
+    """Per-image inversion (embedding_img.py:84-128): ONE forward graph per
+    iteration, loss_msiv backward -> step, then loss_msLv backward on the
+    SAME graph -> step — i.e. BOTH gradients at the iteration-initial
+    params, updates applied sequentially. Runs 2 iterations of the torch
+    loop (LREQAdam, E_Blur_W so the trajectory is noise-free) against
+    make_embedder and asserts the loss trajectory.
+
+    Tolerances are calibrated: LREQAdam's first steps are sign-like
+    (update ~ lr*g/sqrt(g^2)), so fp32 noise amplifies fast — the correct
+    semantics track torch to 0.03%/0.23% at iteration 1, while taking the
+    second gradient at POST-update params (the round-2 bug) puts
+    iteration-1 loss_mslv off by ~6.5%; the 3e-3 rtol separates them."""
+    from model.E.Ablation_Study.E_Blur_W import BE
+    from model.stylegan1.net import Generator
+    from model.utils.custom_adam import LREQAdam
+    import training_utils as ref_tu
+
+    from tpugan.invert import EmbeddingConfig, make_embedder
+    from tpugan.models.encoders import Encoder
+    from tpugan.models.stylegan1 import StyleGANv1Generator
+    from tpugan.ops.eq_lr import lreq_coef_tree
+
+    startf, maxf, layer_count, latent = 8, 32, 3, 512
+    torch.manual_seed(0)
+    ref_g = Generator(startf=startf, maxf=maxf, layer_count=layer_count,
+                      latent_size=latent, channels=3)
+    ref_e = BE(startf=startf, maxf=maxf, layer_count=layer_count,
+               latent_size=latent, channels=3)
+    seed_state(ref_g, 93, std=0.1)
+    seed_state(ref_e, 94, std=0.1)
+    with torch.no_grad():  # freeze the noise path: trajectory must not
+        for name, p in ref_g.named_parameters():  # depend on randn draws
+            if "noise_weight" in name:
+                p.zero_()
+    ref_g.eval()
+    lod = layer_count - 1
+    imgs1 = torch.randn(1, 3, 16, 16, generator=torch.Generator().manual_seed(95))
+    zero_lpips = lambda a, b: torch.zeros(1)
+
+    opt = LREQAdam(ref_e.parameters(), lr=0.01, betas=(0.0, 0.99), weight_decay=0)
+    ref_hist = []
+    for _ in range(2):
+        const2, w1 = ref_e(imgs1, block_num=9)
+        imgs2 = ref_g.forward(w1, lod)
+        const3, w2 = ref_e(imgs2, block_num=9)
+        loss_imgs, _ = ref_tu.space_loss(imgs1, imgs2, lpips_model=zero_lpips)
+        m1 = imgs1[:, :, :, 2:-2].detach().clone()
+        m2 = imgs2[:, :, :, 2:-2].detach().clone()
+        loss_med, _ = ref_tu.space_loss(m1, m2, lpips_model=zero_lpips)
+        s1 = imgs1[:, :, 2:-2, 2:-2].detach().clone()
+        s2 = imgs2[:, :, 2:-2, 2:-2].detach().clone()
+        loss_small, _ = ref_tu.space_loss(s1, s2, lpips_model=zero_lpips)
+        loss_msiv = loss_imgs + 0.125 * (loss_med + loss_small)
+        opt.zero_grad()
+        loss_msiv.backward(retain_graph=True)
+        opt.step()
+        loss_w, _ = ref_tu.space_loss(w1, w2, image_space=False)
+        loss_c1, _ = ref_tu.space_loss(const2, const3, image_space=False)
+        loss_mslv = (loss_w + loss_c1) * 0.01
+        opt.zero_grad()
+        loss_mslv.backward()
+        opt.step()
+        ref_hist.append((loss_msiv.item(), loss_mslv.item()))
+    with torch.no_grad():
+        _, w_final_ref = ref_e(imgs1, block_num=9)
+
+    # ---- ours ----
+    g_state = {k: v.numpy() for k, v in ref_g.state_dict().items()}
+    # re-seed the torch E to its INITIAL weights for conversion
+    seed_state_e = BE(startf=startf, maxf=maxf, layer_count=layer_count,
+                      latent_size=latent, channels=3)
+    seed_state(seed_state_e, 94, std=0.1)
+    e_state = {k: v.numpy() for k, v in seed_state_e.state_dict().items()}
+
+    gen = StyleGANv1Generator(startf=startf, maxf=maxf, layer_count=layer_count,
+                              latent_size=latent)
+    enc = Encoder(startf=startf, maxf=maxf, layer_count=layer_count,
+                  latent_size=latent, use_blur=True, use_noise=False)
+    g_params = jax.tree.map(jnp.asarray, convert.stylegan1_generator(g_state, layer_count))
+    e_params = jax.tree.map(jnp.asarray, convert.encoder(e_state, layer_count))
+    key = jax.random.PRNGKey(0)
+    enc_vars = enc.init({"params": key}, jnp.zeros((1, 16, 16, 3)))
+    coefs = lreq_coef_tree(e_params, enc_vars["lreq"])
+
+    def encode(params, imgs):
+        return enc.apply({"params": params}, imgs)
+
+    def resynth(frozen, w):
+        return gen.apply({"params": frozen}, w, lod)
+
+    cfg = EmbeddingConfig(iterations=2, chunk=1, lr=0.01, optimize_e=True)
+    invert = make_embedder(encode, resynth, e_params, coefs, cfg, frozen=g_params)
+    result = invert(jnp.asarray(np.transpose(imgs1.numpy(), (0, 2, 3, 1))))
+
+    ours_hist = [(float(h[0]), float(h[1])) for h in result.losses]
+    # iteration 0 (pre-update): forward parity; iteration 1: trajectory
+    # semantics (the discriminative assert, see docstring)
+    tols = [(1e-4, 1e-4), (3e-3, 3e-3)]
+    for (r_iv, r_lv), (o_iv, o_lv), (rt_iv, rt_lv) in zip(ref_hist, ours_hist, tols):
+        np.testing.assert_allclose(o_iv, r_iv, rtol=rt_iv)
+        np.testing.assert_allclose(o_lv, r_lv, rtol=rt_lv)
+    # final w: sanity bound only — sign-like adaptive steps amplify fp32
+    # noise into several-% parameter drift even with exact semantics
+    w_ref = w_final_ref.numpy()
+    rel = np.abs(np.asarray(result.w) - w_ref).max() / np.abs(w_ref).max()
+    assert rel < 0.15, rel

@@ -35,6 +35,12 @@ def main(argv=None):
         # frozen generators default to bf16 on TPU (recon SSIM/PSNR gated
         # within +-0.5% of fp32); CPU/GPU backends emulate bf16 slowly,
         # so they stay fp32 unless asked
+        print(
+            "note: bf16 generator compute auto-enabled on TPU — outputs are "
+            "not bitwise-comparable to the fp32 reference pipeline; pass "
+            "--fp32 when comparing against reference-produced images",
+            flush=True,
+        )
         from tpugan.precision import bf16_frozen, bf16_pipeline
 
         synth_fn, resynth_fn = bf16_pipeline(synth_fn, resynth_fn)

@@ -144,28 +144,36 @@ def make_embedder(
 
         def one_iteration(carry, _):
             target, opt_state, sn = carry
-            if cfg.optimize_e and sn is not None:
-                # live spectral norm: one power iteration per training
-                # forward, like torch (nn/spectral.py::power_iterate)
-                sn = power_iterate(target, sn)
+            if sn is not None:
+                # live spectral norm, cadence matched to torch's
+                # per-E-forward u/v update: optimize-E runs E(imgs1) and
+                # E(imgs2) per iteration (2 advances against the
+                # fine-tuned params), optimize-w runs only E(imgs2)
+                # against the frozen base encoder (1 advance) —
+                # embedding_v2_BigGAN.py:92-94 / :74-76
+                if cfg.optimize_e:
+                    sn = power_iterate(target, sn, n_iter=2)
+                else:
+                    sn = power_iterate(base_params, sn)
 
-            def msiv(t):
+            # ONE forward graph per iteration, like the reference
+            # (embedding_img.py:84-128): loss_msiv.backward(retain_graph)
+            # -> step, then loss_msLv.backward() on the SAME graph -> step.
+            # Both gradients are therefore taken at the iteration-initial
+            # parameters; only the updates apply sequentially.
+            def both(t):
                 a, b, aux = iteration_losses(
                     t, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn
                 )
-                return a, (b, aux)
+                return (a, b), aux
 
-            (l_msiv, _), g1 = jax.value_and_grad(msiv, has_aux=True)(target)
+            (l_msiv, l_mslv), vjp_fn, aux = jax.vjp(both, target, has_aux=True)
+            one = jnp.float32(1.0)
+            zero = jnp.float32(0.0)
+            (g1,) = vjp_fn((one, zero))
+            (g2,) = vjp_fn((zero, one))
             updates, opt_state = opt.update(g1, opt_state, target)
             target = optax.apply_updates(target, updates)
-
-            def mslv(t):
-                _, b, _ = iteration_losses(
-                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn
-                )
-                return b
-
-            l_mslv, g2 = jax.value_and_grad(mslv)(target)
             updates, opt_state = opt.update(g2, opt_state, target)
             target = optax.apply_updates(target, updates)
             return (target, opt_state, sn), (l_msiv, l_mslv)

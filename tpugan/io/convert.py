@@ -334,6 +334,11 @@ def encoder(state: Dict[str, np.ndarray], layer_count: int) -> Dict[str, Any]:
                 "kernel": conv_w(state[src + "conv_3.weight"]),
                 "bias": state[src + "conv_3.bias"],
             }
+        if src + "instance_norm_3.weight" in state:
+            # E_v1's residual path has an affine IN after conv_3
+            # (Ablation_Study/E_v1.py:61-62)
+            blk["in3_scale"] = state[src + "instance_norm_3.weight"]
+            blk["in3_bias"] = state[src + "instance_norm_3.bias"]
         p[f"block_{i}"] = blk
     if "out_z.weight" in state:
         # E_Blur_Z z head (Ablation_Study/E_Blur_Z.py:102 ln.Conv2d(512,512,3,2))

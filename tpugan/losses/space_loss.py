@@ -47,10 +47,12 @@ def _unbiased_std(x: jax.Array) -> jax.Array:
 def _kl_quirk(a: jax.Array, b: jax.Array) -> jax.Array:
     """KLDivLoss with torch's implicit-softmax-dim quirk (logged only).
 
-    torch picks softmax dim 1 for 4-D inputs (channels; NHWC axis -1 here)
-    and dim 0 for 3-D inputs (training_utils.py:68-71).
+    torch's legacy ``_get_softmax_dim`` picks dim 0 only for ndim 0/1/3 and
+    dim 1 otherwise (training_utils.py:68-71): 4-D images -> channels
+    (NHWC axis -1 here), 3-D w-latents [N,18,512] -> dim 0, and 2-D
+    latents [N,C] (BigGAN cond-vector/const losses) -> dim 1.
     """
-    axis = -1 if a.ndim == 4 else 0
+    axis = 0 if a.ndim in (0, 1, 3) else -1
     pa = jax.nn.softmax(a, axis=axis)
     pb = jax.nn.softmax(b, axis=axis)
     kl = jnp.mean(pa * (jnp.log(pa) - jnp.log(pb)))

@@ -18,8 +18,10 @@ deepest-first so ``w[:, 2i]``/``w[:, 2i+1]`` line up with generator layer i
 (E.py:126-134).
 
 Note: the reference hardcodes the fused-scale resolution ladder from 1024
-(E_Blur.py:99 ``resolution = 1024``); here it derives from the actual input
-resolution 2^(layer_count+1), which coincides for every published config.
+regardless of layer_count (E_Blur.py:99 ``resolution = 1024``), so e.g. the
+Cat256 case-2 config fuses blocks 0-3 even though the input is 256 px.
+Matched exactly via ``base_resolution=1024`` (round 2 derived the ladder
+from the input resolution, which diverged for sub-1024 E_Blur configs).
 """
 
 from __future__ import annotations
@@ -187,10 +189,13 @@ class Encoder(nn.Module):
     style_stats: str = "meanstd"  # std -> E_v2_std ablation encoder
     block_version: int = 2  # 1 -> E_v1 pre-residual blocks
     z_head: bool = False  # E_Blur_Z: stride-2 conv head 4x4 -> z (out_z)
+    # the torch fused-scale ladder starts at 1024 regardless of input size
+    # (E_Blur.py:99) — fused_scale = ladder_resolution >= 128 per block
+    base_resolution: int = 1024
 
     @nn.compact
     def __call__(self, x, start_block: int = 0, noise=None):
-        resolution = 2 ** (self.layer_count + 1)
+        resolution = self.base_resolution
         x = EqConv(self.startf, 1, name="from_rgb")(x)
         x = leaky_relu(x, 0.2)
 

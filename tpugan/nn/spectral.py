@@ -39,6 +39,14 @@ def power_iterate(params, sn, n_iter: int = 1, eps: float = 1e-12):
     this pure function and thread it through their state (see
     EncoderTrainState.sn); gradients never flow into it (matching torch's
     no_grad update).
+
+    Cadence: torch advances u/v once per *encoder forward*. The training
+    loops run one E forward per iteration (one autograd graph, E_align
+    scripts), so the default ``n_iter=1`` per step matches exactly. The
+    inversion loop runs two E forwards per iteration in optimize-E mode
+    (E(imgs1) + E(imgs2), embedding_v2_BigGAN.py:92-94) and one in
+    optimize-w mode — callers there pass ``n_iter`` to match (see
+    invert/embedding.py).
     """
     if sn is None:
         return None
