@@ -850,3 +850,121 @@ def test_inversion_trajectory_parity():
     w_ref = w_final_ref.numpy()
     rel = np.abs(np.asarray(result.w) - w_ref).max() / np.abs(w_ref).max()
     assert rel < 0.15, rel
+
+
+def test_ablation8_sequential_steps_parity():
+    """Ablation step 8 (8.E_align_x_AT1_AT2.py:72-116): one forward graph,
+    then FOUR sequential LREQAdam steps — imgs, 5*AT1, 9*AT2, 0.01*(w+c) —
+    each backward(retain_graph=True) at the iteration-initial params.
+    Verifies make_train_step(sequential_image_steps=True) tracks the torch
+    loop; a combined single weighted image step (the round-2 bug) diverges
+    at iteration 1 because the adaptive second moment accumulates per
+    group."""
+    from model.E.Ablation_Study.E_Blur_W import BE
+    from model.stylegan1.net import Generator
+    from model.utils.custom_adam import LREQAdam
+    import training_utils as ref_tu
+
+    import optax
+
+    from tpugan.models.encoders import Encoder
+    from tpugan.models.stylegan1 import StyleGANv1Generator
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.train.e_align import (
+        EncoderTrainState, SynthBatch, init_train_state, make_train_step,
+    )
+
+    startf, maxf, layer_count, latent = 8, 32, 3, 512
+    torch.manual_seed(0)
+    ref_g = Generator(startf=startf, maxf=maxf, layer_count=layer_count,
+                      latent_size=latent, channels=3)
+    ref_e = BE(startf=startf, maxf=maxf, layer_count=layer_count,
+               latent_size=latent, channels=3)
+    seed_state(ref_g, 101, std=0.1)
+    seed_state(ref_e, 102, std=0.1)
+    with torch.no_grad():
+        for name, p in ref_g.named_parameters():
+            if "noise_weight" in name:
+                p.zero_()
+    ref_g.eval()
+    lod = layer_count - 1
+    gsrc = torch.Generator().manual_seed(103)
+    imgs1 = torch.randn(1, 3, 16, 16, generator=gsrc)
+    w1 = torch.randn(1, 2 * layer_count, latent, generator=gsrc)
+    const1 = torch.randn(1, maxf, 4, 4, generator=gsrc)
+    zero_lpips = lambda a, b: torch.zeros(1)
+
+    g_state = {k: v.numpy().copy() for k, v in ref_g.state_dict().items()}
+    e_state = {k: v.numpy().copy() for k, v in ref_e.state_dict().items()}
+
+    opt_t = LREQAdam(ref_e.parameters(), lr=0.01, betas=(0.0, 0.99), weight_decay=0)
+    ref_hist = []
+    for _ in range(2):
+        const2, w2 = ref_e(imgs1, block_num=9)
+        imgs2 = ref_g.forward(w2, lod)
+        loss_imgs, _ = ref_tu.space_loss(imgs1, imgs2, lpips_model=zero_lpips)
+        opt_t.zero_grad(); loss_imgs.backward(retain_graph=True); opt_t.step()
+        m1, m2 = imgs1[:, :, :, 2:-2], imgs2[:, :, :, 2:-2]
+        loss_med, _ = ref_tu.space_loss(m1, m2, lpips_model=zero_lpips)
+        loss_med = loss_med * 5
+        opt_t.zero_grad(); loss_med.backward(retain_graph=True); opt_t.step()
+        s1, s2 = imgs1[:, :, 2:-2, 2:-2], imgs2[:, :, 2:-2, 2:-2]
+        loss_small, _ = ref_tu.space_loss(s1, s2, lpips_model=zero_lpips)
+        loss_small = loss_small * 9
+        opt_t.zero_grad(); loss_small.backward(retain_graph=True); opt_t.step()
+        loss_w, _ = ref_tu.space_loss(w1, w2, image_space=False)
+        loss_c, _ = ref_tu.space_loss(const1, const2, image_space=False)
+        loss_mslv = (loss_w + loss_c) * 0.01
+        opt_t.zero_grad(); loss_mslv.backward(); opt_t.step()
+        ref_hist.append((
+            loss_imgs.item() + loss_med.item() + loss_small.item(),
+            loss_mslv.item(),
+        ))
+
+    # ---- ours ----
+    gen = StyleGANv1Generator(startf=startf, maxf=maxf, layer_count=layer_count,
+                              latent_size=latent)
+    enc = Encoder(startf=startf, maxf=maxf, layer_count=layer_count,
+                  latent_size=latent, use_blur=True, use_noise=False)
+    g_params = jax.tree.map(jnp.asarray, convert.stylegan1_generator(g_state, layer_count))
+    e_params = jax.tree.map(jnp.asarray, convert.encoder(e_state, layer_count))
+    enc_vars = enc.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 16, 16, 3)))
+    coefs = lreq_coef_tree(e_params, enc_vars["lreq"])
+    opt = lreq_adam(0.01, coefs=coefs)
+
+    batch = SynthBatch(
+        w1=jnp.asarray(w1.numpy()),
+        imgs1=to_nhwc(imgs1),
+        const1=jnp.asarray(np.transpose(const1.numpy(), (0, 2, 3, 1))),
+    )
+
+    def synth(frozen, key, z):
+        return batch
+
+    def encode(params, b, key):
+        return enc.apply({"params": params}, b.imgs1)
+
+    def resynth(frozen, w, b, key):
+        return gen.apply({"params": frozen}, w, lod)
+
+    step = make_train_step(
+        encode=encode, synth=synth, resynth=resynth, optimizer=opt,
+        z_dim=latent, batch_size=1, case=2,
+        image_weights=(1.0, 5.0, 9.0), latent_weights=(1.0, 1.0),
+        detach_image_losses=False, sequential_image_steps=True,
+    )
+    state = init_train_state(e_params, opt)
+    ours_hist = []
+    for it in range(2):
+        state, info = step(state, jnp.int32(it), g_params)
+        ours_hist.append((float(info.loss_tsa), float(info.loss_mtv)))
+
+    # calibrated: after iteration 0's FOUR sign-like adaptive steps the
+    # correct sequential semantics track torch to ~1% (fp32 chaos), while
+    # a single combined weighted image step lands ~10% off at iteration-1
+    # loss_tsa — the 2e-2 rtol separates them decisively
+    tols = [(1e-4, 1e-4), (2e-2, 1.2e-2)]
+    for (r_tsa, r_lv), (o_tsa, o_lv), (rt_a, rt_b) in zip(ref_hist, ours_hist, tols):
+        np.testing.assert_allclose(o_tsa, r_tsa, rtol=rt_a)
+        np.testing.assert_allclose(o_lv, r_lv, rtol=rt_b)

@@ -50,19 +50,24 @@ def main(argv=None):
     # step 1, the z-only path with Gm re-mapping (1.E_align_z.py:62-67)
     ab = args.ablation
     image_weights = latent_weights = None
+    sequential_image_steps = False
     case = args.case
     synth_fn = bundle.synth
     encode_fn = None
     if ab:
         case = 2  # all ablation scripts backprop image losses
+        # 7/8 weights follow the EXECUTED code, not the comment:
+        # loss_medium*5 / loss_small*9 with one optimizer step PER group
+        # (7.E_align_x_AT1.py:83-86, 8.E_align_x_AT1_AT2.py:83-101)
         image_weights = {
             1: (1.0, 0.0, 0.0), 2: (1.0, 0.0, 0.0), 3: (1.0, 0.0, 0.0),
             4: (1.0, 0.0, 0.0), 5: (1.0, 0.0, 0.0), 6: (1.0, 0.0, 0.0),
-            7: (1.0, 0.1, 0.0), 8: (1.0, 0.1, 0.1),
+            7: (1.0, 5.0, 0.0), 8: (1.0, 5.0, 9.0),
         }[ab]
         latent_weights = {1: (0.0, 1.0), 2: (1.0, 0.0), 3: (1.0, 0.0),
                           4: (1.0, 0.0), 5: (1.0, 1.0), 6: (1.0, 1.0),
                           7: (1.0, 1.0), 8: (1.0, 1.0)}[ab]
+        sequential_image_steps = ab in (7, 8)
         if ab == 1:
             assert args.mtype == 1, "ablation 1 (z re-mapping) is StyleGANv1-only"
             base_synth = bundle.synth
@@ -105,6 +110,7 @@ def main(argv=None):
         image_weights=image_weights,
         latent_weights=latent_weights,
         remat=args.remat,
+        sequential_image_steps=sequential_image_steps,
     )
     jitted = jax.jit(step, donate_argnums=(0,))
     frozen = bundle.frozen

@@ -169,6 +169,7 @@ def make_train_step(
     latent_weights=None,
     detach_image_losses=None,
     remat: bool = False,
+    sequential_image_steps: bool = False,
 ):
     """Build the jitted per-iteration train step.
 
@@ -186,6 +187,15 @@ def make_train_step(
     through ``image_weights=(full, at1, at2)``, ``latent_weights=(w, c)``
     (each scaled by 0.01 like the reference) and ``detach_image_losses``;
     None picks the case defaults.
+
+    ``sequential_image_steps`` reproduces the ablation-7/8 update
+    structure (7.E_align_x_AT1.py:73-86 / 8.E_align_x_AT1_AT2.py:72-116):
+    ONE forward graph per iteration, then a separate
+    ``backward(retain_graph=True)`` + optimizer step per loss group in
+    order — imgs, wm*AT1, ws*AT2, then the latent step — every gradient
+    taken at the iteration-initial parameters (the torch graph's saved
+    activations are pre-update). With an adaptive optimizer this is NOT
+    equivalent to one combined weighted step.
     """
     from tpugan.nn.spectral import encode_accepts_sn
 
@@ -264,7 +274,7 @@ def make_train_step(
             loss_imgs=i_imgs, loss_medium=i_med, loss_small=i_small,
             loss_w=i_w, loss_c=i_c, loss_tsa=loss_tsa, loss_mtv=loss_mtv,
         )
-        return loss_tsa, loss_mtv, info
+        return loss_tsa, loss_mtv, info, (l_imgs, l_med, l_small)
 
     def step(state: EncoderTrainState, iteration, frozen) -> tuple[EncoderTrainState, StepInfo]:
         key = iteration_key(iteration, salt=seed_salt)
@@ -281,20 +291,41 @@ def make_train_step(
         if case == 1:
             # image losses carry no gradient; single effective update on mtv
             def mtv_loss(p):
-                _, loss_mtv, info = losses(p, frozen, batch, ke, kg2, sn)
+                _, loss_mtv, info, _ = losses(p, frozen, batch, ke, kg2, sn)
                 return loss_mtv, info
 
             (_, info), grads = jax.value_and_grad(mtv_loss, has_aux=True)(state.params)
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+        elif sequential_image_steps:
+            # ablation 7/8: one forward graph, one optimizer step PER loss
+            # group (imgs -> wm*AT1 -> ws*AT2 -> latent), all gradients at
+            # the iteration-initial params (torch backward(retain_graph)
+            # reuses pre-update activations; 8.E_align_x_AT1_AT2.py:72-116)
+            def group_losses(p):
+                _, loss_mtv, info, parts = losses(p, frozen, batch, ke, kg2, sn)
+                return parts + (loss_mtv,), info
+
+            _, vjp_fn, info = jax.vjp(group_losses, state.params, has_aux=True)
+            params, opt_state = state.params, state.opt_state
+            wi, wm, ws = image_weights
+            for idx, wgt in enumerate((wi, wm, ws, 1.0)):
+                if wgt == 0.0:
+                    continue  # zero-weight groups take no reference step
+                cot = tuple(
+                    jnp.float32(wgt if j == idx else 0.0) for j in range(4)
+                )
+                (g,) = vjp_fn(cot)
+                updates, opt_state = optimizer.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
         else:
             # two sequential updates, both gradients at the initial params
             def tsa_loss(p):
-                loss_tsa, _, info = losses(p, frozen, batch, ke, kg2, sn)
+                loss_tsa, _, info, _ = losses(p, frozen, batch, ke, kg2, sn)
                 return loss_tsa, info
 
             def mtv_loss(p):
-                _, loss_mtv, _ = losses(p, frozen, batch, ke, kg2, sn)
+                _, loss_mtv, _, _ = losses(p, frozen, batch, ke, kg2, sn)
                 return loss_mtv
 
             (_, info), g_tsa = jax.value_and_grad(tsa_loss, has_aux=True)(state.params)
