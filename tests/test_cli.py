@@ -220,6 +220,13 @@ def test_e_mis_align_cli(tmp_path):
     lines = open(os.path.join(exp, "Loss.txt")).read().strip().splitlines()
     rec = json.loads(lines[-1])
     assert np.isfinite(rec["loss_mask_mse"]) and np.isfinite(rec["loss_gcam_mse"])
+    # guided-backprop gradient loss group, logged like the reference
+    # (E_mis_align_cropping_s1.py:161-172)
+    assert np.isfinite(rec["loss_grad_mse"]) and np.isfinite(rec["loss_grad_cosine"])
+    # heatmap/CAM/gb dumps every log_every iters (:276-288)
+    cam_dir = os.path.join(exp, "grad_cam")
+    assert {"heatmap_0.png", "cam_0.png", "gb_0.png"} <= set(os.listdir(cam_dir))
+    assert any(f.startswith("ep0_iter0") for f in os.listdir(os.path.join(exp, "imgs")))
 
 
 def test_synthesize_cli_biggan(tmp_path):

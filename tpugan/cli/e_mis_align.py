@@ -41,9 +41,15 @@ def main(argv=None):
     from tpugan.cli.common import build_lpips_fn, build_vgg16_vars
 
     vgg, vgg_vars = build_vgg16_vars(args, args.img_size)
+    # guided-backprop twin: same params, clamped ReLU backward
+    # (grad_cam.py:196-232); drives the logged loss_grad group + gb dumps
+    from tpugan.losses.vgg import VGG16
 
+    vgg_guided = VGG16(guided=True)
+
+    encode_used = make_encode_fn(bundle.encoder, enc_extra)
     step = make_mis_align_step(
-        encode=make_encode_fn(bundle.encoder, enc_extra),
+        encode=encode_used,
         synth=bundle.synth,
         resynth=bundle.resynth,
         optimizer=opt,
@@ -51,8 +57,17 @@ def main(argv=None):
         z_dim=bundle.z_dim,
         batch_size=args.batch_size,
         lpips_fn=build_lpips_fn(args),
+        vgg_guided=vgg_guided,
     )
     jitted = jax.jit(step)
+    from tpugan.train.e_mis_align import make_mis_align_visuals
+
+    visuals = jax.jit(
+        make_mis_align_visuals(
+            encode_used, bundle.synth, bundle.resynth, vgg, vgg_guided,
+            bundle.z_dim, args.batch_size,
+        )
+    )
     from tpugan.runtime import to_accelerator
 
     vgg_vars = to_accelerator(vgg_vars)
@@ -74,6 +89,42 @@ def main(argv=None):
             print(json.dumps(rec), flush=True)
             loss_log.write(json.dumps(rec) + "\n")
             loss_log.flush()
+            # reconstruction grid + heatmap/CAM/guided-backprop dumps
+            # (E_mis_align_cropping_s1.py:276-288)
+            import numpy as np
+
+            from tpugan.io.image import save_image_grid, to_unit
+
+            vis = jax.device_get(
+                visuals(state.params, state.sn, jnp.int32(iteration), frozen, vgg_vars)
+            )
+            grid = np.concatenate([to_unit(vis["imgs1"]), to_unit(vis["imgs2"])], axis=0)
+            ep, it = iteration // 30000, iteration % 30000
+            save_image_grid(
+                os.path.join(imgs_dir, f"ep{ep}_iter{it}.png"),
+                np.clip(grid, 0, 1), nrow=args.batch_size,
+            )
+            cam_dir = os.path.join(base, "grad_cam")
+            os.makedirs(cam_dir, exist_ok=True)
+            save_image_grid(
+                os.path.join(cam_dir, f"heatmap_{iteration}.png"),
+                np.clip(np.asarray(vis["heatmap"]), 0, 1), nrow=args.batch_size,
+            )
+            save_image_grid(
+                os.path.join(cam_dir, f"cam_{iteration}.png"),
+                np.clip(np.asarray(vis["cam"]), 0, 1), nrow=args.batch_size,
+            )
+            # the reference's host-side normalisation of the gb dump
+            # (:282-284): grads -= max(global_min, 0); grads /= global_max
+            gb = np.array(vis["gb"], dtype=np.float32)  # writable copy
+            gb -= max(float(gb.min()), 0.0)
+            denom = float(gb.max())
+            if denom != 0.0:
+                gb /= denom
+            save_image_grid(
+                os.path.join(cam_dir, f"gb_{iteration}.png"),
+                np.clip(gb, 0, 1), nrow=args.batch_size,
+            )
         if iteration % args.checkpoint_every == 0 and iteration > 0:
             save_checkpoint(models_dir, state, iteration)
     loss_log.close()

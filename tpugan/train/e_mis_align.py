@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tpugan.losses.gradcam import grad_cam, mask2cam
+from tpugan.losses.gradcam import grad_cam, guided_backprop, mask2cam
 from tpugan.losses.space_loss import SpaceLossInfo, space_loss
 from tpugan.train.e_align import EncoderTrainState, SynthBatch
 from tpugan.utils import iteration_key
@@ -33,10 +33,18 @@ class MisAlignInfo(NamedTuple):
     loss_imgs: SpaceLossInfo
     loss_mask: SpaceLossInfo
     loss_gcam: SpaceLossInfo
+    # guided-backprop gradient distance, LOGGED only (not in loss_tsa),
+    # like the reference's loss_grad (E_mis_align_cropping_s1.py:161-172)
+    loss_grad: SpaceLossInfo
     loss_w: SpaceLossInfo
     loss_c: SpaceLossInfo
     loss_tsa: jax.Array
     loss_mtv: jax.Array
+
+
+def _zero_space_info() -> SpaceLossInfo:
+    z = jnp.float32(0.0)
+    return SpaceLossInfo(mse=z, mse_mean=z, mse_std=z, kl=z, cosine=z, ssim=z, lpips=z)
 
 
 def make_mis_align_step(
@@ -49,6 +57,7 @@ def make_mis_align_step(
     batch_size: int,
     lpips_fn=None,
     seed_salt: int = 0,
+    vgg_guided=None,
 ):
     """Jitted per-iteration step for the Grad-CAM training case.
 
@@ -94,6 +103,17 @@ def make_mis_align_step(
             l_gcam, i_gcam = space_loss(cam1, cam2, lpips_fn=lpips_fn)
             loss_tsa = l_imgs + l_mask + l_gcam  # :191
 
+            if vgg_guided is not None:
+                # grad_i = gbp(imgs_i.detach().clone()) on each side, then
+                # space_loss(grad_1, grad_2) logged every iteration
+                # (E_mis_align_cropping_s1.py:163-172); by construction it
+                # carries no encoder gradient — the inputs are detached
+                gb1 = guided_backprop(vgg_guided, vgg_vars, i1)
+                gb2 = guided_backprop(vgg_guided, vgg_vars, i2)
+                _, i_grad = space_loss(gb1, gb2, lpips_fn=lpips_fn)
+            else:
+                i_grad = _zero_space_info()
+
             l_w, i_w = space_loss(batch.w1, w2, image_space=False)
             l_c, i_c = space_loss(
                 jax.lax.stop_gradient(batch.const1), const2, image_space=False
@@ -101,6 +121,7 @@ def make_mis_align_step(
             loss_mtv = 0.01 * l_w
             info = MisAlignInfo(
                 loss_imgs=i_imgs, loss_mask=i_mask, loss_gcam=i_gcam,
+                loss_grad=i_grad,
                 loss_w=i_w, loss_c=i_c, loss_tsa=loss_tsa, loss_mtv=loss_mtv,
             )
             return loss_mtv, info
@@ -114,3 +135,53 @@ def make_mis_align_step(
         )
 
     return step
+
+
+def make_mis_align_visuals(
+    encode,
+    synth,
+    resynth,
+    vgg,
+    vgg_guided,
+    z_dim: int,
+    batch_size: int,
+    seed_salt: int = 0,
+):
+    """Visualisation tensors for the reference's per-100-iteration dumps
+    (E_mis_align_cropping_s1.py:276-288): the imgs1/imgs2 grid plus
+    heatmap / CAM-overlay / guided-backprop images, each concatenated
+    (imgs1-batch then imgs2-batch) like the torch ``torch.cat`` dumps.
+
+    Returns ``visuals(params, sn, iteration, frozen, vgg_vars) -> dict`` of
+    NHWC arrays; jit it once in the caller. The guided-backprop dump keeps
+    the reference's host-side normalisation (grads -= max(min, 0);
+    grads /= max) for the CLI to apply on the host.
+    """
+    from tpugan.nn.spectral import encode_accepts_sn
+
+    accepts_sn = encode_accepts_sn(encode)
+
+    def visuals(params, sn, iteration, frozen, vgg_vars):
+        key = iteration_key(iteration, salt=seed_salt)
+        kz, kg1, ke, kg2 = jax.random.split(key, 4)
+        z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
+        batch = jax.lax.stop_gradient(synth(frozen, kg1, z))
+        _, w2 = (
+            encode(params, batch, ke, sn) if accepts_sn else encode(params, batch, ke)
+        )
+        imgs2 = resynth(frozen, w2, batch, kg2)
+        out = {"imgs1": batch.imgs1, "imgs2": imgs2}
+        heatmaps, cams, gbs = [], [], []
+        for imgs in (batch.imgs1, imgs2):
+            imgs = jax.lax.stop_gradient(imgs)
+            mask = grad_cam(vgg, vgg_vars, imgs, plus_plus=True)
+            heatmap, cam = mask2cam(mask, imgs)
+            heatmaps.append(heatmap)
+            cams.append(cam)
+            gbs.append(guided_backprop(vgg_guided, vgg_vars, imgs))
+        out["heatmap"] = jnp.concatenate(heatmaps, axis=0)
+        out["cam"] = jnp.concatenate(cams, axis=0)
+        out["gb"] = jnp.concatenate(gbs, axis=0)
+        return out
+
+    return visuals
