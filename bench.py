@@ -87,15 +87,15 @@ def chip_hbm_bw():
     return _lookup(_HBM_BW)
 
 
-def bench_lpips_fn():
+def bench_lpips_fn(bf16=False):
     """Random-weight LPIPS heads: same FLOPs/bytes as trained weights, so
     the measured step carries the reference's real per-iteration workload
     (six VGG16 passes: full image + both crops, each on a and b)."""
-    from tpugan.losses.lpips import make_lpips_fn, random_params
+    import jax.numpy as jnp
 
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        params = random_params(jax.random.PRNGKey(7))
-    return make_lpips_fn(jax.device_put(params, jax.devices()[0]))
+    from tpugan.losses.lpips import random_lpips_fn
+
+    return random_lpips_fn(dtype=jnp.bfloat16 if bf16 else None)
 
 
 def build_sg1_step(batch, bf16=False, lpips_fn=None):
@@ -144,7 +144,7 @@ def build_sg1_step(batch, bf16=False, lpips_fn=None):
 
 
 def build_sg2_step(batch=2, res=1024, bf16=False, enc_bf16=False, remat=False,
-                   lpips_fn=None):
+                   lpips_fn=None, remat_policy=None):
     from tpugan.models import Encoder, StyleGAN2Generator
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -192,6 +192,7 @@ def build_sg2_step(batch=2, res=1024, bf16=False, enc_bf16=False, remat=False,
         batch_size=batch,
         case=2,
         remat=remat,
+        remat_policy=remat_policy,
         lpips_fn=lpips_fn,
     )
     state = init_train_state(evars["params"], opt)
@@ -299,7 +300,9 @@ def main():
             extras.append({"metric": "e_align_b32", "error": str(e)[:200]})
         # bf16 variant of the primary config (parity-gated)
         try:
-            stepb, stateb, frozenb = build_sg1_step(BATCH, bf16=True, lpips_fn=lpips_fn)
+            stepb, stateb, frozenb = build_sg1_step(
+                BATCH, bf16=True, lpips_fn=bench_lpips_fn(bf16=True)
+            )
             dtb, flopsb, nbb = time_step(stepb, stateb, frozenb, iters=30, want_flops=True)
             eb = metric_entry("e_align_train_images_per_sec_256_bf16", BATCH, dtb, flopsb, peak, nbb, bw)
             eb["dtype"] = "bfloat16 compute, fp32 master/norms"
@@ -317,7 +320,8 @@ def main():
             extras.append({"metric": "sg2_1024_case2", "error": str(e)[:200]})
         try:
             step3, state3, frozen3 = build_sg2_step(
-                batch=2, res=1024, bf16=True, enc_bf16=True, lpips_fn=lpips_fn
+                batch=2, res=1024, bf16=True, enc_bf16=True,
+                lpips_fn=bench_lpips_fn(bf16=True)
             )
             dt3, flops3, nb3 = time_step(step3, state3, frozen3, iters=8, want_flops=True)
             e3 = metric_entry(

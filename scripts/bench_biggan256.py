@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--no_lpips", action="store_true")
     args = ap.parse_args()
 
     import bench
@@ -83,15 +84,19 @@ def main():
 
     coefs = lreq_coef_tree(evars["params"], evars["lreq"])
     opt = lreq_adam(0.0015, coefs=coefs)
+    from tpugan.losses.lpips import random_lpips_fn
+
     step = make_train_step(
         encode=encode, synth=synth, resynth=resynth, optimizer=opt,
         z_dim=cfg.z_dim, batch_size=args.batch, case=1,
+        lpips_fn=None if args.no_lpips else random_lpips_fn(),
     )
     state = init_train_state(evars["params"], opt, sn=evars.get("sn"))
     peak = bench.chip_peak_flops()
-    dt, flops = bench.time_step(step, state, gvars, iters=args.iters, want_flops=True)
+    bw = bench.chip_hbm_bw()
+    dt, flops, nbytes = bench.time_step(step, state, gvars, iters=args.iters, want_flops=True)
     entry = bench.metric_entry(
-        "e_big_align_train_images_per_sec_256", args.batch, dt, flops, peak
+        "e_big_align_train_images_per_sec_256", args.batch, dt, flops, peak, nbytes, bw
     )
     entry["bf16"] = args.bf16
     print(json.dumps(entry))

@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--img_size", type=int, default=1024)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--chunks", type=int, default=3)
+    ap.add_argument("--no_lpips", action="store_true")
     args = ap.parse_args()
 
     import math
@@ -76,7 +77,12 @@ def main():
 
     coefs = lreq_coef_tree(evars["params"], evars["lreq"])
     cfg = EmbeddingConfig(iterations=100 * args.chunks, lr=0.01, optimize_e=False, chunk=100)
-    invert = make_embedder(encode, resynth, evars["params"], coefs, cfg, frozen=frozen)
+    from tpugan.losses.lpips import random_lpips_fn
+
+    invert = make_embedder(
+        encode, resynth, evars["params"], coefs, cfg, frozen=frozen,
+        lpips_fn=None if args.no_lpips else random_lpips_fn(),
+    )
 
     imgs = to_accelerator(jax.random.normal(key, (1, args.img_size, args.img_size, 3)))
     # warm (compile)

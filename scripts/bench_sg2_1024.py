@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat_policy", default=None, choices=("conv_outs",))
+    ap.add_argument("--no_lpips", action="store_true",
+                    help="drop the LPIPS term (NOT the reference workload)")
     args = ap.parse_args()
 
     from tpugan.models import Encoder, StyleGAN2Generator
@@ -69,6 +72,10 @@ def main():
         batch_size=batch,
         case=2,
         remat=args.remat,
+        remat_policy=args.remat_policy,
+        lpips_fn=None if args.no_lpips else __import__(
+            "tpugan.losses.lpips", fromlist=["random_lpips_fn"]
+        ).random_lpips_fn(),
     )
     from tpugan.runtime import to_accelerator
 

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--lpips", action="store_true",
+                    help="include the LPIPS/VGG term in the losses (the "
+                         "reference's real per-iteration workload)")
+    ap.add_argument("--remat_policy", default=None, choices=("conv_outs",))
     args = ap.parse_args()
 
     from tpugan.models import Encoder, StyleGAN2Generator
@@ -90,11 +94,28 @@ def main():
     rj = jax.jit(resynth_fwd)
     print(f"encode+resynth fwd : {timeit(rj, frozen, params, batch0):8.1f} ms")
 
-    # image-space grad (case-2 first optimizer step's backward)
+    lpips_fn = None
+    if args.lpips:
+        from tpugan.losses.lpips import make_lpips_fn, random_params
+
+        with jax.default_device(cpu):
+            lp = random_params(jax.random.PRNGKey(7))
+        lpips_fn = make_lpips_fn(to_accelerator(lp))
+
+    # image-space grad (case-2 first optimizer step's backward) — the real
+    # space_loss (incl. crops + LPIPS when --lpips), like the train step
+    from tpugan.losses.space_loss import space_loss
+    from tpugan.train.e_align import attention_crops
+
     def img_loss(params, frozen, batch0):
         _, w2 = encode(params, batch0, key)
         imgs2 = resynth(frozen, w2, batch0, key)
-        return jnp.mean(jnp.square(imgs2 - batch0.imgs1))
+        l, _ = space_loss(batch0.imgs1, imgs2, lpips_fn=lpips_fn)
+        a1, a2 = attention_crops(batch0.imgs1)
+        b1, b2 = attention_crops(imgs2)
+        lm, _ = space_loss(a1, b1, lpips_fn=lpips_fn)
+        ls, _ = space_loss(a2, b2, lpips_fn=lpips_fn)
+        return l + 5.0 * lm + 9.0 * ls
 
     gj = jax.jit(jax.grad(img_loss))
     print(f"image-loss grad    : {timeit(gj, params, frozen, batch0):8.1f} ms")
@@ -109,7 +130,8 @@ def main():
 
     step = make_train_step(
         encode=encode, synth=synth, resynth=resynth, optimizer=opt,
-        z_dim=512, batch_size=batch, case=2,
+        z_dim=512, batch_size=batch, case=2, lpips_fn=lpips_fn,
+        remat_policy=args.remat_policy,
     )
     state = to_accelerator(init_train_state(evars["params"], opt))
     sj = jax.jit(step)

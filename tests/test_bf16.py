@@ -211,3 +211,23 @@ def test_bf16_case2_train_step_close():
     assert rel < 0.03, (float(info16.loss_tsa), float(info32.loss_tsa))
     flat = jax.tree_util.tree_leaves(new_state.params)
     assert all(x.dtype == jnp.float32 for x in flat)
+
+
+def test_bf16_lpips_tracks_fp32():
+    """bf16 LPIPS (bench bf16 variants) stays within 2% relative of fp32
+    on [-1,1] images — the perceptual term's precision gate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpugan.losses.lpips import make_lpips_fn, random_params
+    from tpugan.precision import bf16_lpips, cast_floating
+
+    params = random_params(jax.random.PRNGKey(7))
+    fp32 = make_lpips_fn(params)
+    bf16 = bf16_lpips(make_lpips_fn(cast_floating(params, jnp.bfloat16)))
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(np.tanh(rng.randn(2, 64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(np.tanh(rng.randn(2, 64, 64, 3)).astype(np.float32))
+    da, db = np.asarray(fp32(a, b)), np.asarray(bf16(a, b))
+    assert np.all(np.abs(da - db) / np.maximum(np.abs(da), 1e-6) < 0.02), (da, db)

@@ -12,7 +12,7 @@ from tpugan.train import build_stylegan1_pipeline, make_train_step
 from tpugan.train.e_align import attention_crops, init_train_state, make_encode_fn
 
 
-def _tiny_setup(case, batch=2, use_blur=False):
+def _tiny_setup(case, batch=2, use_blur=False, **step_kwargs):
     layer_count, startf, latent = 3, 8, 32
     gen = StyleGANv1Generator(startf=startf, maxf=32, layer_count=layer_count, latent_size=latent)
     gm = StyleGANv1Mapping(
@@ -35,6 +35,7 @@ def _tiny_setup(case, batch=2, use_blur=False):
         z_dim=latent,
         batch_size=batch,
         case=case,
+        **step_kwargs,
     )
     state = init_train_state(enc_vars["params"], opt)
     return step, state, frozen
@@ -177,3 +178,18 @@ def test_biggan_encoder_sn_state_updates_during_training():
     sigma = v @ kern @ u
     top = np.linalg.svd(kern, compute_uv=False)[0]
     np.testing.assert_allclose(sigma, top, rtol=1e-3)
+
+
+def test_remat_policy_conv_outs_numerics():
+    """Selective remat (save conv outputs, recompute elementwise chains)
+    must not change the training numerics — only the traffic schedule."""
+    base_step, state, frozen = _tiny_setup(2)
+    import tpugan.train.e_align as ea
+
+    # rebuild the same tiny step with the policy engaged
+    step_p, state_p, frozen_p = _tiny_setup(2, remat_policy="conv_outs")
+    s1, i1 = jax.jit(base_step)(state, jnp.int32(3), frozen)
+    s2, i2 = jax.jit(step_p)(state_p, jnp.int32(3), frozen_p)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(i1.loss_tsa), float(i2.loss_tsa), rtol=1e-6)

@@ -20,6 +20,9 @@ def main(argv=None):
     parser.add_argument("--case", type=int, default=1, choices=(1, 2))
     parser.add_argument("--remat", action="store_true",
                         help="rematerialise activations (1024^2 memory knob)")
+    parser.add_argument("--remat_policy", default=None, choices=("conv_outs",),
+                        help="selective remat: save conv outputs only, "
+                             "recompute elementwise chains in the backward")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute for the generator AND the encoder "
                              "forward/backward (fp32 master weights, fp32 norm "
@@ -110,6 +113,7 @@ def main(argv=None):
         image_weights=image_weights,
         latent_weights=latent_weights,
         remat=args.remat,
+        remat_policy=args.remat_policy,
         sequential_image_steps=sequential_image_steps,
     )
     jitted = jax.jit(step, donate_argnums=(0,))

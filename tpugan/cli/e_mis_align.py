@@ -47,6 +47,9 @@ def main(argv=None):
 
     vgg_guided = VGG16(guided=True)
 
+    from tpugan.parallel import make_mesh
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
     encode_used = make_encode_fn(bundle.encoder, enc_extra)
     step = make_mis_align_step(
         encode=encode_used,
@@ -58,6 +61,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         lpips_fn=build_lpips_fn(args),
         vgg_guided=vgg_guided,
+        mesh=mesh,
     )
     jitted = jax.jit(step)
     from tpugan.train.e_mis_align import make_mis_align_visuals
@@ -68,14 +72,21 @@ def main(argv=None):
             bundle.z_dim, args.batch_size,
         )
     )
-    from tpugan.runtime import to_accelerator
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    vgg_vars = to_accelerator(vgg_vars)
-    frozen = to_accelerator(bundle.frozen)
+        placement = NamedSharding(mesh, P())  # replicated over the mesh
+    else:
+        placement = jax.devices()[0]
+    vgg_vars = jax.device_put(vgg_vars, placement)
+    frozen = jax.device_put(bundle.frozen, placement)
 
     name = f"mtype{args.mtype}-{args.img_size}-misalign"
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
-    state = to_accelerator(init_train_state(bundle.enc_vars["params"], opt, sn=bundle.enc_vars.get("sn")))
+    state = jax.device_put(
+        init_train_state(bundle.enc_vars["params"], opt, sn=bundle.enc_vars.get("sn")),
+        placement,
+    )
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
     for iteration in range(args.iterations):
         state, info = jitted(state, jnp.int32(iteration), frozen, vgg_vars)

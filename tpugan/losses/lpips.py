@@ -71,3 +71,26 @@ def make_lpips_fn(params):
         return model.apply(params, a, b)
 
     return fn
+
+
+def random_lpips_fn(device=None, key_seed: int = 7, dtype=None):
+    """Random-weight LPIPS closure for benchmarks.
+
+    Random heads cost exactly what trained ones cost, so benches measure
+    the reference's real per-iteration workload (six VGG16 passes/step:
+    full image + both crops, each on target and reconstruction —
+    training_utils.py:92-95, E_align_cropping_s1.py:98) without needing
+    weight files. NOT for quality evaluation — see cli/common.py's loud
+    random-weights warning.
+    """
+    import jax
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = random_params(jax.random.PRNGKey(key_seed))
+    if dtype is not None:
+        from tpugan.precision import bf16_lpips, cast_floating
+
+        params = cast_floating(params, dtype)
+        fn = make_lpips_fn(jax.device_put(params, device or jax.devices()[0]))
+        return bf16_lpips(fn)
+    return make_lpips_fn(jax.device_put(params, device or jax.devices()[0]))

@@ -31,6 +31,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from tpugan.ops.basic import leaky_relu, pixel_norm
 from tpugan.ops.upfirdn import setup_fir_kernel, upfirdn2d
@@ -241,6 +242,8 @@ class ModulatedConv(nn.Module):
                 padding=((k // 2, k // 2), (k // 2, k // 2)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+        # selective-remat cut point (see nn/layers.py::EqConv)
+        y = _checkpoint_name(y, "conv_out")
 
         if self.demodulate:
             y = y / norm[:, None, None, :]
@@ -311,6 +314,7 @@ class SG2ConvBlock(nn.Module):
                 padding=((k // 2, k // 2), (k // 2, k // 2)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+        y = _checkpoint_name(y, "conv_out")
         if self.add_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = y + bias * self.lr_mul

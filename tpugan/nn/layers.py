@@ -18,6 +18,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from tpugan.ops.eq_lr import eq_lr_std, transform_kernel_2d
 
@@ -123,6 +124,10 @@ class EqConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.groups,
             )
+        # named cut point for the selective remat policy ("conv_outs"):
+        # save conv outputs only, recompute the elementwise chains the
+        # backward re-reads (no-op outside jax.checkpoint)
+        y = _checkpoint_name(y, "conv_out")
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             if self.is_initializing():

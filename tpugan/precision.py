@@ -82,3 +82,25 @@ def bf16_encode(encode):
         return cast_floating(out, jnp.float32)
 
     return wrapped
+
+
+def bf16_lpips(lpips_fn, params_already_cast: bool = False):
+    """Wrap an LPIPS closure so the VGG backbone computes in bf16.
+
+    With the perceptual term in the measured step (six VGG16 passes per
+    iteration, bench.py), the LPIPS forward/backward is a first-class
+    bandwidth consumer; bf16 halves its activation bytes. Inputs cast down
+    at the boundary, the per-sample distances come back fp32 (the loss
+    totals and gradients stay fp32 like the rest of the bf16 scheme).
+
+    Pass the closure built from bf16-cast params (``cast_floating(params,
+    jnp.bfloat16)``) or let this wrapper rely on bf16 inputs promoting
+    nothing — fp32 params with bf16 inputs would silently promote back, so
+    prefer casting the params.
+    """
+
+    def fn(a, b):
+        d = lpips_fn(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+        return d.astype(jnp.float32)
+
+    return fn

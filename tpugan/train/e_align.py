@@ -169,6 +169,7 @@ def make_train_step(
     latent_weights=None,
     detach_image_losses=None,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
     sequential_image_steps: bool = False,
 ):
     """Build the jitted per-iteration train step.
@@ -212,6 +213,16 @@ def make_train_step(
         # (the 1024^2 pixel-gradient memory knob, SURVEY.md §5)
         encode = jax.checkpoint(encode)
         resynth = jax.checkpoint(resynth)
+    elif remat_policy == "conv_outs":
+        # selective policy: SAVE conv outputs (the checkpoint_name cut
+        # points in EqConv/ModulatedConv), RECOMPUTE the elementwise
+        # chains (blur/noise/bias/lrelu/IN) the backward would otherwise
+        # re-read from HBM — byte reduction, not just memory headroom
+        policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+        encode = jax.checkpoint(encode, policy=policy)
+        resynth = jax.checkpoint(resynth, policy=policy)
+    elif remat_policy is not None:
+        raise ValueError(f"unknown remat_policy {remat_policy!r}")
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

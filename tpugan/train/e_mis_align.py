@@ -58,16 +58,41 @@ def make_mis_align_step(
     lpips_fn=None,
     seed_salt: int = 0,
     vgg_guided=None,
+    mesh=None,
+    spatial: bool = False,
 ):
     """Jitted per-iteration step for the Grad-CAM training case.
 
     ``vgg_vars`` is an explicit step argument (not a closure capture): the
     VGG16 weights are ~550 MB as baked-in constants, which overflows
-    program-upload limits — as an argument they stay device-resident."""
+    program-upload limits — as an argument they stay device-resident.
+
+    With ``mesh``, the batch is pinned to the ``data`` axis (and image
+    height to ``space`` when ``spatial``), like make_train_step — the VGG
+    forward/vjp and CAM resize all shard along the batch."""
 
     from tpugan.nn.spectral import encode_accepts_sn
 
     accepts_sn = encode_accepts_sn(encode)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpugan.parallel.mesh import DATA_AXIS, SPACE_AXIS
+
+        batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+        img_sh = NamedSharding(
+            mesh, P(DATA_AXIS, SPACE_AXIS) if spatial else P(DATA_AXIS)
+        )
+
+        def constrain(batch):
+            return batch._replace(
+                w1=jax.lax.with_sharding_constraint(batch.w1, batch_sh),
+                imgs1=jax.lax.with_sharding_constraint(batch.imgs1, img_sh),
+                const1=jax.lax.with_sharding_constraint(batch.const1, batch_sh),
+            )
+    else:
+        def constrain(batch):
+            return batch
 
     def step(state: EncoderTrainState, iteration, frozen, vgg_vars):
         def attention(images):
@@ -78,7 +103,7 @@ def make_mis_align_step(
         key = iteration_key(iteration, salt=seed_salt)
         kz, kg1, ke, kg2 = jax.random.split(key, 4)
         z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
-        batch = jax.lax.stop_gradient(synth(frozen, kg1, z))
+        batch = constrain(jax.lax.stop_gradient(synth(frozen, kg1, z)))
 
         from tpugan.nn.spectral import power_iterate
 
