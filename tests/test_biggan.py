@@ -98,6 +98,7 @@ def test_biggan_batchnorm_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_genblock_channel_drop_and_upsample(rng):
     blk = GenBlock(in_size=16, out_size=8, condition_vector_dim=16, up_sample=True, n_stats=5)
     x = jnp.asarray(rng.randn(2, 4, 4, 16).astype(np.float32))
@@ -139,6 +140,7 @@ def test_pg_encoder_shapes(rng):
     assert z.shape == (2, 512)
 
 
+@pytest.mark.slow
 def test_biggan_encoder_shapes(rng):
     enc = BigGANEncoder(startf=64, maxf=512, layer_count=7)
     x = jnp.zeros((2, 256, 256, 3))

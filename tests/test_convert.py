@@ -16,6 +16,7 @@ from tpugan.models.stylegan1 import StyleGANv1Generator, StyleGANv1Mapping
 from tpugan.models.stylegan2 import StyleGAN2Generator
 
 
+@pytest.mark.slow
 def test_stylegan1_generator_roundtrip(rng):
     """Reference-named Gs state dict (incl. a fused block) -> our params."""
     layer_count, startf, maxf, latent = 7, 8, 32, 16  # reaches 256 -> fused blocks

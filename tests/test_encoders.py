@@ -29,6 +29,7 @@ def test_encoder_shapes_case1():
     assert w.shape == (2, 14, 512)
 
 
+@pytest.mark.slow
 def test_encoder_block_matches_torch_reference(rng):
     """BEBlock forward (E.py:50-85) with injected noise."""
     cin, cout, latent = 8, 16, 32
@@ -78,6 +79,7 @@ def test_encoder_block_matches_torch_reference(rng):
     np.testing.assert_allclose(to_nchw(out), ref.numpy(), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_encoder_w_ordering(rng):
     """Per-block pairs are (w2, w1) with the deepest block first (E.py:126-134)."""
     enc = Encoder(startf=4, maxf=16, layer_count=3, latent_size=8)
@@ -102,6 +104,7 @@ def test_encoder_blur_variant_shapes():
     assert "conv_2" in variables["params"]["block_0"]
 
 
+@pytest.mark.slow
 def test_encoder_ablation_variants():
     x = jnp.zeros((1, 16, 16, 3))
     # no noise (E_Blur_W)
@@ -122,6 +125,7 @@ def test_encoder_ablation_variants():
     assert w is None and const.shape == (1, 4, 4, 16)
 
 
+@pytest.mark.slow
 def test_encoder_std_only_stats(rng):
     """E_v2_std: inver_mod heads consume std only (half-width input)."""
     enc = Encoder(startf=4, maxf=16, layer_count=3, latent_size=8, style_stats="std")

@@ -5,6 +5,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -40,6 +41,7 @@ def lrelu(x):
     return F.leaky_relu(x, 0.2)
 
 
+@pytest.mark.slow
 def test_pggan_generator_matches_torch(rng):
     gen = PGGANGenerator(resolution=16, z_space_dim=32, fmaps_base=64, fmaps_max=16)
     z = jnp.asarray(rng.randn(2, 32).astype(np.float32))
@@ -67,6 +69,7 @@ def test_pggan_generator_matches_torch(rng):
     np.testing.assert_allclose(to_nchw(out), ref.numpy(), rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pggan_generator_fused_scale(rng):
     gen = PGGANGenerator(resolution=8, z_space_dim=16, fmaps_base=32, fmaps_max=8, fused_scale=True)
     z = jnp.asarray(rng.randn(1, 16).astype(np.float32))
@@ -89,6 +92,7 @@ def test_pggan_generator_fused_scale(rng):
     np.testing.assert_allclose(to_nchw(out), ref.numpy(), rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pggan_generator_progressive_lod(rng):
     gen = PGGANGenerator(resolution=16, z_space_dim=32, fmaps_base=64, fmaps_max=16)
     z = jnp.asarray(rng.randn(2, 32).astype(np.float32))
@@ -103,6 +107,7 @@ def test_pggan_generator_progressive_lod(rng):
     np.testing.assert_allclose(np.asarray(img_half), np.asarray(blend), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pggan_discriminator_shapes_and_lod(rng):
     d = PGGANDiscriminator(resolution=16, fmaps_base=64, fmaps_max=16, minibatch_std_group_size=2)
     x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))

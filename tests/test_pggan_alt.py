@@ -13,6 +13,7 @@ from tpugan.models.pggan_alt import (
 )
 
 
+@pytest.mark.slow
 def test_progan_generator_depths(rng):
     gen = ProGANGenerator(depth=5, latent_size=64)
     z = jnp.asarray(rng.randn(2, 64).astype(np.float32))
@@ -29,6 +30,7 @@ def test_progan_generator_depths(rng):
     )
 
 
+@pytest.mark.slow
 def test_progan_discriminator_and_conditional(rng):
     d = ProGANDiscriminator(height=5, feature_size=64)
     x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))

@@ -83,6 +83,7 @@ def torch_decode_block(x, p, s1, s2, n1, n2, fused, has_first_conv):
     return x
 
 
+@pytest.mark.slow
 def test_generator_matches_torch_reference(rng):
     """Full Gs.decode for a small fused+unfused ladder vs torch re-derivation."""
     layer_count, startf, maxf, latent = 3, 32, 128, 64
@@ -133,6 +134,7 @@ def test_generator_matches_torch_reference(rng):
     np.testing.assert_allclose(to_nchw(out), ref.numpy(), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_generator_fused_scale_at_high_res():
     """Resolution >= 128 uses the fused transpose conv path; shape check."""
     gen = StyleGANv1Generator(startf=8, maxf=64, layer_count=6, latent_size=32)
@@ -173,6 +175,7 @@ def test_mapping_layer_count_scaling():
     assert m.apply(variables, z).shape == (2, 18, 512)
 
 
+@pytest.mark.slow
 def test_discriminator_shapes():
     d = StyleGANv1Discriminator(startf=16, maxf=64, layer_count=4)
     x = jnp.zeros((2, 32, 32, 3))

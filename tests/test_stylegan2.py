@@ -11,6 +11,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -157,6 +158,7 @@ def test_truncation_module(rng):
     np.testing.assert_allclose(np.asarray(wp[:, 0]), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_generator_contract(rng):
     """Result-dict contract + shapes for a small config (:500,:538)."""
     gen = StyleGAN2Generator(resolution=16, fmaps_base=64, fmaps_max=16)
@@ -174,6 +176,7 @@ def test_full_generator_contract(rng):
     )
 
 
+@pytest.mark.slow
 def test_resnet_architecture(rng):
     gen = StyleGAN2Generator(resolution=16, fmaps_base=64, fmaps_max=16, architecture="resnet")
     z = jnp.asarray(rng.randn(1, 512).astype(np.float32))

@@ -68,6 +68,7 @@ def test_train_step_reduces_loss(case):
         assert float(info.loss_tsa) < float(info0.loss_tsa)
 
 
+@pytest.mark.slow
 def test_case1_image_losses_carry_no_gradient():
     """Reference detaches image losses in case 1: encoder params that only
     affect the image path still move via the w loss, but the tsa loss is
@@ -86,6 +87,7 @@ def test_dryrun_multichip_8_devices():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles_on_cpu():
     import __graft_entry__ as ge
 
@@ -95,6 +97,7 @@ def test_entry_compiles_on_cpu():
     assert shapes[1].shape == (2, 14, 512)
 
 
+@pytest.mark.slow
 def test_train_step_seed_determinism():
     """SURVEY §4 test plan: seed-deterministic steps — identical iteration
     (seed) from identical state produces bit-identical updates."""
@@ -180,6 +183,7 @@ def test_biggan_encoder_sn_state_updates_during_training():
     np.testing.assert_allclose(sigma, top, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_remat_policy_conv_outs_numerics():
     """Selective remat (save conv outputs, recompute elementwise chains)
     must not change the training numerics — only the traffic schedule."""
