@@ -80,7 +80,7 @@ def test_edit_latent_slice_semantics(rng):
     )
 
 
-def _tiny_inversion_setup(optimize_e):
+def _tiny_inversion_setup(optimize_e, lpips_fn=None):
     from tpugan.invert import EmbeddingConfig, make_embedder
     from tpugan.models import Encoder, StyleGANv1Generator
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -101,7 +101,10 @@ def _tiny_inversion_setup(optimize_e):
         return gen.apply(frozen, w, rngs={"noise": key})
 
     cfg = EmbeddingConfig(iterations=20, chunk=10, lr=0.01, optimize_e=optimize_e)
-    invert = make_embedder(encode, resynth, enc_vars["params"], coefs, cfg, frozen=gen_vars)
+    invert = make_embedder(
+        encode, resynth, enc_vars["params"], coefs, cfg, frozen=gen_vars,
+        lpips_fn=lpips_fn,
+    )
 
     # target: a synthetic image from the generator itself
     w_true = jax.random.normal(jax.random.PRNGKey(5), (1, 6, latent))
@@ -119,6 +122,31 @@ def test_inversion_reduces_loss(optimize_e):
     l_last = float(result.losses[-1][0])
     assert np.isfinite(l_first) and np.isfinite(l_last)
     assert l_last < l_first  # image loss decreased over 20 iterations
+
+
+def test_inversion_lpips_cache_matches_uncached():
+    """Hoisting the fixed target's LPIPS features out of the scan does not
+    change the optimization trajectory: a plain-lambda lpips_fn (no
+    .features attribute, so the loop recomputes the a-side per iteration)
+    must give the same w as the caching closure."""
+    from tpugan.losses.lpips import make_lpips_fn, random_params
+
+    params = random_params(jax.random.PRNGKey(3), image_size=16)
+    fn = make_lpips_fn(params)
+
+    def fn_nocache(a, b):
+        return fn(a, b)
+
+    invert_c, target = _tiny_inversion_setup(False, lpips_fn=fn)
+    invert_u, _ = _tiny_inversion_setup(False, lpips_fn=fn_nocache)
+    r_c = invert_c(target)
+    r_u = invert_u(target)
+    np.testing.assert_allclose(
+        np.asarray(r_c.w), np.asarray(r_u.w), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(r_c.losses[-1][0]), float(r_u.losses[-1][0]), rtol=1e-5
+    )
 
 
 def test_inversion_gradcam_attention():

@@ -117,6 +117,24 @@ def test_lpips_in_space_loss(rng):
     assert abs(float(info2.lpips)) > 0
 
 
+def test_lpips_feature_cache_equality(rng):
+    """fn(a, b, a_feats=fn.features(a)) is bitwise fn(a, b) — the
+    contract the inversion loop's target-side hoisting relies on."""
+    from tpugan.losses.space_loss import pool_for_lpips, space_loss
+
+    params = random_params(jax.random.PRNGKey(0), image_size=32)
+    fn = make_lpips_fn(params)
+    a = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(fn(a, b)), np.asarray(fn(a, b, a_feats=fn.features(a)))
+    )
+    t0, i0 = space_loss(a, b, lpips_fn=fn)
+    t1, i1 = space_loss(a, b, lpips_fn=fn, lpips_a_feats=fn.features(pool_for_lpips(a)))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(i0.lpips), np.asarray(i1.lpips))
+
+
 def test_majority_class():
     logits = jnp.asarray(
         [[0.1, 0.9, 0.0], [0.0, 0.8, 0.2], [0.7, 0.1, 0.2]], dtype=jnp.float32

@@ -90,7 +90,10 @@ def make_embedder(
             return encode(params, imgs, sn)
         return encode(params, imgs)
 
-    def iteration_losses(opt_target, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn):
+    def iteration_losses(
+        opt_target, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn, cache
+    ):
+        cache = cache or {}
         if cfg.optimize_e:
             const2, w1 = apply_encode(opt_target, imgs1, sn)
         else:
@@ -103,18 +106,24 @@ def make_embedder(
         enc_for_w2 = opt_target if cfg.optimize_e else base_params
         const3, w2 = apply_encode(enc_for_w2, imgs2, sn)
 
-        l_imgs, i_imgs = space_loss(imgs1, imgs2, lpips_fn=lpips_fn)
+        l_imgs, i_imgs = space_loss(
+            imgs1, imgs2, lpips_fn=lpips_fn, lpips_a_feats=cache.get("full")
+        )
         if cfg.attention == "gradcam":
             from tpugan.losses.gradcam import grad_cam, mask2cam
 
-            m1 = grad_cam(vgg, vgg_w, jax.lax.stop_gradient(imgs1), plus_plus=True)
+            # the target-side CAM work (m1/cam1: a VGG forward+backward on
+            # the fixed imgs1) is loop-invariant — precomputed per batch
+            m1, cam1 = cache["m1"], cache["cam1"]
             m2 = grad_cam(vgg, vgg_w, jax.lax.stop_gradient(imgs2), plus_plus=True)
-            _, cam1 = mask2cam(m1, jax.lax.stop_gradient(imgs1))
             _, cam2 = mask2cam(m2, jax.lax.stop_gradient(imgs2))
             l_med, _ = space_loss(
-                jnp.tile(m1, (1, 1, 1, 3)), jnp.tile(m2, (1, 1, 1, 3)), lpips_fn=lpips_fn
+                jnp.tile(m1, (1, 1, 1, 3)), jnp.tile(m2, (1, 1, 1, 3)),
+                lpips_fn=lpips_fn, lpips_a_feats=cache.get("m1_feats"),
             )
-            l_small, _ = space_loss(cam1, cam2, lpips_fn=lpips_fn)
+            l_small, _ = space_loss(
+                cam1, cam2, lpips_fn=lpips_fn, lpips_a_feats=cache.get("cam1_feats")
+            )
             # reference weights: imgs + mask + Gcam (embedding_v2_BigGAN.py:148)
             loss_msiv = l_imgs + l_med + l_small
         else:
@@ -123,8 +132,12 @@ def make_embedder(
             if cfg.detach_crops:
                 at1_1, at1_2 = jax.lax.stop_gradient((at1_1, at1_2))
                 at2_1, at2_2 = jax.lax.stop_gradient((at2_1, at2_2))
-            l_med, _ = space_loss(at1_1, at1_2, lpips_fn=lpips_fn)
-            l_small, _ = space_loss(at2_1, at2_2, lpips_fn=lpips_fn)
+            l_med, _ = space_loss(
+                at1_1, at1_2, lpips_fn=lpips_fn, lpips_a_feats=cache.get("at1")
+            )
+            l_small, _ = space_loss(
+                at2_1, at2_2, lpips_fn=lpips_fn, lpips_a_feats=cache.get("at2")
+            )
             loss_msiv = (
                 l_imgs + cfg.crop_weight_medium * l_med + cfg.crop_weight_small * l_small
             )
@@ -138,8 +151,40 @@ def make_embedder(
 
     opt = lreq_adam(cfg.lr, coefs=enc_coefs if cfg.optimize_e else None, beta2=cfg.beta2)
 
+    can_cache_feats = lpips_fn is not None and hasattr(lpips_fn, "features")
+
     @jax.jit
-    def run_chunk(target, opt_state, sn, imgs1, const2_fixed, base_params, frozen_w, vgg_w):
+    def precompute_cache(imgs1, vgg_w):
+        """Per-batch target-side work the scan would otherwise redo every
+        iteration: imgs1 and its detached crops never change, so their
+        LPIPS features (3 of the 6 VGG passes/step) — and in gradcam mode
+        the whole m1/cam1 CAM stack (a VGG forward+backward) — hoist out
+        of the loop. Values are bitwise the in-loop computation."""
+        from tpugan.losses.space_loss import pool_for_lpips
+
+        cache = {}
+        if cfg.attention == "gradcam":
+            from tpugan.losses.gradcam import grad_cam, mask2cam
+
+            m1 = grad_cam(vgg, vgg_w, imgs1, plus_plus=True)
+            _, cam1 = mask2cam(m1, imgs1)
+            cache["m1"], cache["cam1"] = m1, cam1
+            if can_cache_feats:
+                cache["m1_feats"] = lpips_fn.features(
+                    pool_for_lpips(jnp.tile(m1, (1, 1, 1, 3)))
+                )
+                cache["cam1_feats"] = lpips_fn.features(pool_for_lpips(cam1))
+        else:
+            if can_cache_feats:
+                at1_1, at2_1 = attention_crops(imgs1)
+                cache["at1"] = lpips_fn.features(pool_for_lpips(at1_1))
+                cache["at2"] = lpips_fn.features(pool_for_lpips(at2_1))
+        if can_cache_feats:
+            cache["full"] = lpips_fn.features(pool_for_lpips(imgs1))
+        return cache
+
+    @jax.jit
+    def run_chunk(target, opt_state, sn, imgs1, const2_fixed, base_params, frozen_w, vgg_w, cache):
         from tpugan.nn.spectral import power_iterate
 
         def one_iteration(carry, _):
@@ -168,13 +213,13 @@ def make_embedder(
             # CSE shares the common forward.
             def msiv(t):
                 a, b, aux = iteration_losses(
-                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn
+                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn, cache
                 )
                 return a, b
 
             def mslv(t):
                 _, b, _ = iteration_losses(
-                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn
+                    t, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn, cache
                 )
                 return b
 
@@ -200,13 +245,15 @@ def make_embedder(
             target = jax.lax.stop_gradient(w0)
         opt_state = opt.init(target)
         sn = sn0  # fresh per batch, like the reloaded E weights
+        needs_cache = cfg.attention == "gradcam" or can_cache_feats
+        cache = precompute_cache(imgs1, vgg_vars) if needs_cache else {}
 
         history = []
         n_chunks = max(1, cfg.iterations // cfg.chunk)
         for _ in range(n_chunks):
             target, opt_state, sn, hist = run_chunk(
                 target, opt_state, sn, imgs1, const2_fixed, base_enc_params,
-                frozen, vgg_vars,
+                frozen, vgg_vars, cache,
             )
             history.append(jax.tree.map(lambda h: h[-1], hist))
 

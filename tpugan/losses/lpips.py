@@ -34,10 +34,16 @@ class LPIPS(nn.Module):
     """lpips.LPIPS(net='vgg', spatial=False) equivalent.
 
     __call__(a, b): NHWC images in [-1, 1] -> per-sample distance [N].
+    __call__(a): feature-extraction mode — returns the five unit-normalized
+    VGG feature maps of ``a``. Pass them back as ``a_feats`` to skip the
+    a-side backbone pass: loops whose target image is fixed (the inversion
+    scan — embedding_img.py's imgs1 and its detached crops never change
+    across the 1500 iterations) hoist half the VGG passes this way; the
+    distance is bitwise the computation XLA would otherwise redo per step.
     """
 
     @nn.compact
-    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+    def __call__(self, a: jax.Array, b: jax.Array | None = None, a_feats=None):
         backbone = VGG16(include_classifier=False, name="backbone")
         shift = jnp.asarray(_SHIFT)
         scale = jnp.asarray(_SCALE)
@@ -45,12 +51,15 @@ class LPIPS(nn.Module):
         def feats(x):
             x = (x - shift) / scale
             _, fs = backbone(x)
-            return [fs[i] for i in LPIPS_FEATURES]
+            return [_normalize_tensor(fs[i]) for i in LPIPS_FEATURES]
 
-        fa, fb = feats(a), feats(b)
+        if b is None:
+            return feats(a)
+        fa = feats(a) if a_feats is None else a_feats
+        fb = feats(b)
         total = 0.0
         for j, (xa, xb) in enumerate(zip(fa, fb)):
-            diff = jnp.square(_normalize_tensor(xa) - _normalize_tensor(xb))
+            diff = jnp.square(xa - xb)
             head = nn.Conv(1, (1, 1), use_bias=False, name=f"lin_{j}")
             total = total + jnp.mean(head(diff), axis=(1, 2, 3))
         return total
@@ -64,12 +73,18 @@ def random_params(key, image_size: int = 64):
 
 
 def make_lpips_fn(params):
-    """Closure suitable for ``space_loss(..., lpips_fn=...)``."""
+    """Closure suitable for ``space_loss(..., lpips_fn=...)``.
+
+    The closure also carries ``fn.features(x)`` (the five normalized VGG
+    maps) so callers with a loop-invariant side can precompute it and pass
+    ``a_feats=`` — see LPIPS.__call__.
+    """
     model = LPIPS()
 
-    def fn(a, b):
-        return model.apply(params, a, b)
+    def fn(a, b, a_feats=None):
+        return model.apply(params, a, b, a_feats=a_feats)
 
+    fn.features = lambda x: model.apply(params, x)
     return fn
 
 

@@ -61,18 +61,30 @@ def _kl_quirk(a: jax.Array, b: jax.Array) -> jax.Array:
     return kl
 
 
+def pool_for_lpips(a: jax.Array) -> jax.Array:
+    """The <=256px average-pool ladder applied before SSIM/LPIPS
+    (training_utils.py:81-84) — exposed so callers caching a fixed
+    target's LPIPS features (``lpips_fn.features``) pool it identically."""
+    while a.shape[1] > 256:
+        a = downscale2d(a)
+    return a
+
+
 def space_loss(
     a: jax.Array,
     b: jax.Array,
     image_space: bool = True,
     lpips_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    lpips_a_feats=None,
 ) -> tuple[jax.Array, SpaceLossInfo]:
     """Multi-term distance between ``a`` (target) and ``b`` (reconstruction).
 
     Image tensors are NHWC in [-1, 1]; latents may be any shape.
     ``lpips_fn(a, b) -> [N]`` is the perceptual distance (see
     tpugan.losses.lpips); None contributes 0 like the reference's
-    ``image_space=False`` branch.
+    ``image_space=False`` branch. ``lpips_a_feats`` are precomputed
+    features of ``pool_for_lpips(a)`` (from ``lpips_fn.features``) for
+    loops whose a-side is fixed — same value, half the VGG passes.
     """
     mse = jnp.mean(jnp.square(a - b))
     mse_mean = jnp.square(jnp.mean(a) - jnp.mean(b))
@@ -94,7 +106,12 @@ def space_loss(
             b = downscale2d(b)
         ssim_val = ssim_fn(a, b)
         ssim_loss = 1.0 - ssim_val
-        lpips_val = jnp.mean(lpips_fn(a, b)) if lpips_fn is not None else jnp.float32(0.0)
+        if lpips_fn is None:
+            lpips_val = jnp.float32(0.0)
+        elif lpips_a_feats is not None:
+            lpips_val = jnp.mean(lpips_fn(a, b, a_feats=lpips_a_feats))
+        else:
+            lpips_val = jnp.mean(lpips_fn(a, b))
     else:
         ssim_loss = jnp.float32(0.0)
         lpips_val = jnp.float32(0.0)

@@ -99,8 +99,10 @@ def bf16_lpips(lpips_fn, params_already_cast: bool = False):
     prefer casting the params.
     """
 
-    def fn(a, b):
-        d = lpips_fn(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    def fn(a, b, a_feats=None):
+        d = lpips_fn(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), a_feats=a_feats)
         return d.astype(jnp.float32)
 
+    if hasattr(lpips_fn, "features"):
+        fn.features = lambda x: lpips_fn.features(x.astype(jnp.bfloat16))
     return fn
