@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--no_gbp", action="store_true",
                     help="drop the guided-backprop loss_grad group (the "
                          "reference always computes it)")
+    ap.add_argument("--bf16_cam", action="store_true",
+                    help="run the CAM++/GBP VGG16 stack in bf16 too "
+                         "(attention losses are log-only)")
     args = ap.parse_args()
 
     import bench
@@ -86,8 +89,12 @@ def main():
         synth, resynth = bf16_pipeline(synth, resynth)
         encode = bf16_encode(encode)
         frozen = bf16_frozen(frozen)
-        # the VGG16 CAM/GBP stack stays fp32 (its backward IS the attention
-        # signal; bf16_lpips covers only the LPIPS heads)
+        # the VGG16 CAM/GBP stack stays fp32 unless --bf16_cam (its
+        # backward IS the attention signal; bf16_lpips covers the heads)
+    if args.bf16_cam:
+        from tpugan.precision import cast_floating
+
+        vgg_vars = cast_floating(vgg_vars, jnp.bfloat16)
 
     coefs = lreq_coef_tree(enc_vars["params"], enc_vars["lreq"])
     opt = lreq_adam(0.0015, coefs=coefs)
@@ -97,6 +104,7 @@ def main():
         vgg=vgg, z_dim=LATENT, batch_size=args.batch,
         lpips_fn=None if args.no_lpips else bench.bench_lpips_fn(bf16=args.bf16),
         vgg_guided=None if args.no_gbp else VGG16(guided=True),
+        cam_bf16=args.bf16_cam,
     )
     state = init_train_state(enc_vars["params"], opt)
 

@@ -228,6 +228,18 @@ def test_e_mis_align_cli(tmp_path):
     assert {"heatmap_0.png", "cam_0.png", "gb_0.png"} <= set(os.listdir(cam_dir))
     assert any(f.startswith("ep0_iter0") for f in os.listdir(os.path.join(exp, "imgs")))
 
+    # --bf16 wiring (bf16 G/E compute + bf16 CAM/GBP VGG stack)
+    exp16 = str(tmp_path / "exp_mis_bf16")
+    main(
+        ["--mtype", "1", "--img_size", "16", "--start_features", "128",
+         "--random_init", "--iterations", "1", "--batch_size", "2",
+         "--log_every", "1", "--experiment_dir", exp16, "--bf16"]
+    )
+    rec16 = json.loads(
+        open(os.path.join(exp16, "Loss.txt")).read().strip().splitlines()[-1]
+    )
+    assert np.isfinite(rec16["loss_mask_mse"]) and np.isfinite(rec16["loss_grad_mse"])
+
 
 def test_synthesize_cli_biggan(tmp_path):
     from tpugan.cli.synthesize import main

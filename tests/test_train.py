@@ -197,3 +197,51 @@ def test_remat_policy_conv_outs_numerics():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(i1.loss_tsa), float(i2.loss_tsa), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_mis_align_cam_bf16_close():
+    """cam_bf16 runs the CAM++/GBP VGG stack in bf16. The attention losses
+    are log-only (no gradient path to E), so the parameter update must be
+    BITWISE identical to fp32; the logged attention scalars may shift only
+    by bf16 rounding."""
+    from tpugan.losses.vgg import VGG16
+    from tpugan.precision import cast_floating
+    from tpugan.train.e_mis_align import make_mis_align_step
+
+    layer_count, startf, latent, batch = 3, 8, 32, 2
+    gen = StyleGANv1Generator(startf=startf, maxf=32, layer_count=layer_count, latent_size=latent)
+    gm = StyleGANv1Mapping(
+        num_layers=2 * layer_count, mapping_layers=2, latent_size=latent,
+        dlatent_size=latent, mapping_fmaps=latent,
+    )
+    enc = Encoder(startf=startf, maxf=32, layer_count=layer_count, latent_size=latent)
+    key = jax.random.PRNGKey(0)
+    gm_vars = gm.init(key, jnp.zeros((batch, latent)))
+    gen_vars = gen.init({"params": key, "noise": key}, jnp.zeros((batch, 2 * layer_count, latent)))
+    enc_vars = enc.init({"params": key, "noise": key}, jnp.zeros((batch, 16, 16, 3)))
+    opt = lreq_adam(0.0015, coefs=lreq_coef_tree(enc_vars["params"], enc_vars["lreq"]))
+    synth, resynth, frozen = build_stylegan1_pipeline(gen, gm, gen_vars, gm_vars, lod=layer_count - 1)
+    vgg = VGG16()
+    vgg_guided = VGG16(guided=True)
+    vgg_vars = vgg.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)))
+    encode = make_encode_fn(enc, {k: v for k, v in enc_vars.items() if k != "params"})
+
+    def build(cam_bf16):
+        return make_mis_align_step(
+            encode=encode, synth=synth, resynth=resynth, optimizer=opt,
+            vgg=vgg, z_dim=latent, batch_size=batch,
+            vgg_guided=vgg_guided, cam_bf16=cam_bf16,
+        )
+
+    state = init_train_state(enc_vars["params"], opt)
+    s32, i32 = jax.jit(build(False))(state, jnp.int32(5), frozen, vgg_vars)
+    s16, i16 = jax.jit(build(True))(
+        state, jnp.int32(5), frozen, cast_floating(vgg_vars, jnp.bfloat16)
+    )
+    for a, b in zip(jax.tree.leaves(s32.params), jax.tree.leaves(s16.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # logged attention scalars within bf16 rounding of the fp32 values
+    np.testing.assert_allclose(float(i16.loss_mask.mse), float(i32.loss_mask.mse), rtol=0.1, atol=1e-3)
+    np.testing.assert_allclose(float(i16.loss_gcam.mse), float(i32.loss_gcam.mse), rtol=0.1, atol=1e-3)
+    np.testing.assert_allclose(float(i16.loss_tsa), float(i32.loss_tsa), rtol=0.1)

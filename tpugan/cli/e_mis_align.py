@@ -17,6 +17,11 @@ from tpugan.cli.common import add_common_args, build_bundle, make_result_dirs
 def main(argv=None):
     parser = argparse.ArgumentParser(description="the training args")
     add_common_args(parser, training=True)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute for generator, encoder AND the "
+                             "CAM++/GBP VGG stack (attention losses are "
+                             "log-only, so the update trajectory is bitwise "
+                             "fp32; gate in tests/test_train.py)")
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--checkpoint_every", type=int, default=5000)
     args = parser.parse_args(argv)
@@ -41,6 +46,15 @@ def main(argv=None):
     from tpugan.cli.common import build_lpips_fn, build_vgg16_vars
 
     vgg, vgg_vars = build_vgg16_vars(args, args.img_size)
+    if args.bf16:
+        # --bf16 extends to the CAM++/GBP VGG stack (4x VGG fwd+bwd per
+        # iteration, the step's dominant byte stream): the attention
+        # losses are log-only, so the parameter trajectory is bitwise the
+        # fp32 one (tests/test_train.py::test_mis_align_cam_bf16_close);
+        # measured 92.1 -> 84.5 ms/step at the reference batch-5 config
+        from tpugan.precision import cast_floating
+
+        vgg_vars = cast_floating(vgg_vars, jnp.bfloat16)
     # guided-backprop twin: same params, clamped ReLU backward
     # (grad_cam.py:196-232); drives the logged loss_grad group + gb dumps
     from tpugan.losses.vgg import VGG16
@@ -51,10 +65,16 @@ def main(argv=None):
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     encode_used = make_encode_fn(bundle.encoder, enc_extra)
+    synth_used, resynth_used = bundle.synth, bundle.resynth
+    if args.bf16:
+        from tpugan.precision import bf16_encode, bf16_pipeline
+
+        synth_used, resynth_used = bf16_pipeline(synth_used, resynth_used)
+        encode_used = bf16_encode(encode_used)
     step = make_mis_align_step(
         encode=encode_used,
-        synth=bundle.synth,
-        resynth=bundle.resynth,
+        synth=synth_used,
+        resynth=resynth_used,
         optimizer=opt,
         vgg=vgg,
         z_dim=bundle.z_dim,
@@ -62,13 +82,14 @@ def main(argv=None):
         lpips_fn=build_lpips_fn(args),
         vgg_guided=vgg_guided,
         mesh=mesh,
+        cam_bf16=args.bf16,
     )
     jitted = jax.jit(step)
     from tpugan.train.e_mis_align import make_mis_align_visuals
 
     visuals = jax.jit(
         make_mis_align_visuals(
-            encode_used, bundle.synth, bundle.resynth, vgg, vgg_guided,
+            encode_used, synth_used, resynth_used, vgg, vgg_guided,
             bundle.z_dim, args.batch_size,
         )
     )
@@ -79,7 +100,12 @@ def main(argv=None):
     else:
         placement = jax.devices()[0]
     vgg_vars = jax.device_put(vgg_vars, placement)
-    frozen = jax.device_put(bundle.frozen, placement)
+    frozen = bundle.frozen
+    if args.bf16:
+        from tpugan.precision import bf16_frozen
+
+        frozen = bf16_frozen(frozen)
+    frozen = jax.device_put(frozen, placement)
 
     name = f"mtype{args.mtype}-{args.img_size}-misalign"
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)

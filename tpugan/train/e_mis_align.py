@@ -60,6 +60,7 @@ def make_mis_align_step(
     vgg_guided=None,
     mesh=None,
     spatial: bool = False,
+    cam_bf16: bool = False,
 ):
     """Jitted per-iteration step for the Grad-CAM training case.
 
@@ -69,7 +70,15 @@ def make_mis_align_step(
 
     With ``mesh``, the batch is pinned to the ``data`` axis (and image
     height to ``space`` when ``spatial``), like make_train_step — the VGG
-    forward/vjp and CAM resize all shard along the batch."""
+    forward/vjp and CAM resize all shard along the batch.
+
+    ``cam_bf16`` runs the CAM++/guided-backprop VGG16 passes (4x VGG
+    forward+backward per iteration — the step's dominant byte stream) in
+    bfloat16: pass ``cast_floating(vgg_vars, jnp.bfloat16)`` as the step's
+    vgg_vars and images are cast down at the attention/GBP boundary; masks
+    and gb images come back fp32. The attention losses here are log-only
+    (no gradient), so precision only shifts the logged scalars — gated by
+    tests/test_train.py::test_mis_align_cam_bf16_close."""
 
     from tpugan.nn.spectral import encode_accepts_sn
 
@@ -96,9 +105,11 @@ def make_mis_align_step(
 
     def step(state: EncoderTrainState, iteration, frozen, vgg_vars):
         def attention(images):
+            if cam_bf16:
+                images = images.astype(jnp.bfloat16)
             mask = grad_cam(vgg, vgg_vars, images, plus_plus=True)  # [N,H,W,1]
             _, cam = mask2cam(mask, images)
-            return mask, cam
+            return mask.astype(jnp.float32), cam.astype(jnp.float32)
 
         key = iteration_key(iteration, salt=seed_salt)
         kz, kg1, ke, kg2 = jax.random.split(key, 4)
@@ -133,8 +144,12 @@ def make_mis_align_step(
                 # space_loss(grad_1, grad_2) logged every iteration
                 # (E_mis_align_cropping_s1.py:163-172); by construction it
                 # carries no encoder gradient — the inputs are detached
-                gb1 = guided_backprop(vgg_guided, vgg_vars, i1)
-                gb2 = guided_backprop(vgg_guided, vgg_vars, i2)
+                gi1, gi2 = (
+                    (i1.astype(jnp.bfloat16), i2.astype(jnp.bfloat16))
+                    if cam_bf16 else (i1, i2)
+                )
+                gb1 = guided_backprop(vgg_guided, vgg_vars, gi1).astype(jnp.float32)
+                gb2 = guided_backprop(vgg_guided, vgg_vars, gi2).astype(jnp.float32)
                 _, i_grad = space_loss(gb1, gb2, lpips_fn=lpips_fn)
             else:
                 i_grad = _zero_space_info()
@@ -196,14 +211,19 @@ def make_mis_align_visuals(
         )
         imgs2 = resynth(frozen, w2, batch, kg2)
         out = {"imgs1": batch.imgs1, "imgs2": imgs2}
+        # feed the VGG stack in its own param dtype (the CLI passes bf16
+        # vars under --bf16); dump tensors come back fp32 either way
+        vgg_dtype = jax.tree.leaves(vgg_vars)[0].dtype
         heatmaps, cams, gbs = [], [], []
         for imgs in (batch.imgs1, imgs2):
-            imgs = jax.lax.stop_gradient(imgs)
+            imgs = jax.lax.stop_gradient(imgs).astype(vgg_dtype)
             mask = grad_cam(vgg, vgg_vars, imgs, plus_plus=True)
             heatmap, cam = mask2cam(mask, imgs)
-            heatmaps.append(heatmap)
-            cams.append(cam)
-            gbs.append(guided_backprop(vgg_guided, vgg_vars, imgs))
+            heatmaps.append(heatmap.astype(jnp.float32))
+            cams.append(cam.astype(jnp.float32))
+            gbs.append(
+                guided_backprop(vgg_guided, vgg_vars, imgs).astype(jnp.float32)
+            )
         out["heatmap"] = jnp.concatenate(heatmaps, axis=0)
         out["cam"] = jnp.concatenate(cams, axis=0)
         out["gb"] = jnp.concatenate(gbs, axis=0)
