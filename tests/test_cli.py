@@ -293,3 +293,63 @@ def test_embedding_cli_biggan_optimize_e(tmp_path):
     assert os.path.exists(os.path.join(exp, "models", "w_all.npy"))
     w_all = np.load(os.path.join(exp, "models", "w_all.npy"))
     assert w_all.shape[-1] == 8  # BigGAN z head
+
+
+def _fake_lpips_state_dict():
+    """lpips-package (net='vgg') layout: VGG16 convs under net.sliceK.IDX,
+    linear heads under lin{j}.model.1.weight — the exact key schema
+    io/convert.py::lpips_vgg parses."""
+    import torch
+
+    # torchvision VGG16 feature indices -> (out_c, in_c); slice split per
+    # lpips/pretrained_networks.py (slice1: 0-3, slice2: 4-8, slice3: 9-15,
+    # slice4: 16-22, slice5: 23-29)
+    convs = [
+        (0, 64, 3), (2, 64, 64), (5, 128, 64), (7, 128, 128),
+        (10, 256, 128), (12, 256, 256), (14, 256, 256),
+        (17, 512, 256), (19, 512, 512), (21, 512, 512),
+        (24, 512, 512), (26, 512, 512), (28, 512, 512),
+    ]
+    slice_of = lambda i: 1 if i <= 3 else 2 if i <= 8 else 3 if i <= 15 else 4 if i <= 22 else 5
+    g = torch.Generator().manual_seed(11)
+    state = {}
+    for idx, out_c, in_c in convs:
+        state[f"net.slice{slice_of(idx)}.{idx}.weight"] = (
+            torch.randn(out_c, in_c, 3, 3, generator=g) * 0.05
+        )
+        state[f"net.slice{slice_of(idx)}.{idx}.bias"] = torch.randn(out_c, generator=g) * 0.05
+    for j, c in enumerate((64, 128, 256, 512, 512)):
+        state[f"lin{j}.model.1.weight"] = torch.randn(1, c, 1, 1, generator=g).abs() * 0.1
+    return state
+
+
+def test_build_lpips_fn_bf16_wiring(tmp_path):
+    """--bf16 routes the CLI's LPIPS closure through the benched bf16 path
+    (bf16 backbone weights + input casts, fp32 distances out) and stays
+    close to the fp32 closure."""
+    import types
+
+    import jax.numpy as jnp
+    import torch
+
+    from tpugan.cli.common import build_lpips_fn
+
+    path = str(tmp_path / "lpips_vgg.pth")
+    torch.save(_fake_lpips_state_dict(), path)
+
+    a = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3) * 2 - 1, jnp.float32)
+    b = jnp.asarray(np.random.RandomState(4).rand(2, 32, 32, 3) * 2 - 1, jnp.float32)
+
+    fp32_fn = build_lpips_fn(types.SimpleNamespace(lpips_weights=path))
+    d32 = fp32_fn(a, b)
+    assert d32.dtype == jnp.float32 and np.all(np.isfinite(d32))
+
+    bf16_fn = build_lpips_fn(types.SimpleNamespace(lpips_weights=path, bf16=True))
+    d16 = bf16_fn(a, b)
+    assert d16.dtype == jnp.float32  # distances come back fp32
+    assert np.allclose(np.asarray(d16), np.asarray(d32), rtol=0.05, atol=1e-3)
+    # feature-precompute hook survives the wrapper (inversion cache path)
+    feats = bf16_fn.features(a)
+    assert all(f.dtype == jnp.bfloat16 for f in feats)
+    d16_cached = bf16_fn(a, b, a_feats=feats)
+    assert np.allclose(np.asarray(d16_cached), np.asarray(d16), atol=1e-6)

@@ -324,6 +324,13 @@ def build_lpips_fn(args):
 
         state = convert.load_torch_state_dict(cached_path(args.lpips_weights))
         params = {"params": jax.tree.map(jnp.asarray, convert.lpips_vgg(state))}
+        if getattr(args, "bf16", False):
+            # match the benched bf16 configuration (bench.py): bf16 VGG
+            # backbone weights + input casts, fp32 distances out — the
+            # LPIPS activation stream is a first-class byte consumer
+            from tpugan.precision import bf16_lpips, cast_floating
+
+            return bf16_lpips(make_lpips_fn(cast_floating(params, jnp.bfloat16)))
         return make_lpips_fn(params)
     warn_random_weights("lpips_weights", "the LPIPS loss term is DISABLED")
     return None

@@ -45,10 +45,15 @@ class LPIPS(nn.Module):
     @nn.compact
     def __call__(self, a: jax.Array, b: jax.Array | None = None, a_feats=None):
         backbone = VGG16(include_classifier=False, name="backbone")
-        shift = jnp.asarray(_SHIFT)
-        scale = jnp.asarray(_SCALE)
 
         def feats(x):
+            # constants in x.dtype: fp32 constants would silently promote a
+            # bf16 input back to fp32 at the first op, and fp32 activations
+            # x bf16 kernels promote everywhere after — the whole "bf16"
+            # backbone would run fp32 (caught by the dtype assertion in
+            # tests/test_cli.py::test_build_lpips_fn_bf16_wiring)
+            shift = jnp.asarray(_SHIFT, x.dtype)
+            scale = jnp.asarray(_SCALE, x.dtype)
             x = (x - shift) / scale
             _, fs = backbone(x)
             return [_normalize_tensor(fs[i]) for i in LPIPS_FEATURES]

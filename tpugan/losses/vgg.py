@@ -114,6 +114,6 @@ def preprocess_imagenet(images: jax.Array) -> jax.Array:
     """[-1, 1] NHWC RGB -> ImageNet-normalized (the reference feeds
     generator output straight into VGG after this shift)."""
     x = images * 0.5 + 0.5
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
+    mean = jnp.asarray(IMAGENET_MEAN, images.dtype)
+    std = jnp.asarray(IMAGENET_STD, images.dtype)
     return (x - mean) / std
