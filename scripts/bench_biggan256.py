@@ -1,11 +1,14 @@
-"""BigGAN-deep 256 encoder training throughput (BASELINE.md config 4).
+"""BigGAN-deep encoder training throughput (BASELINE.md config 4).
 
-Full-size biggan-deep-256 architecture (channel_width 128, 1000 classes,
-SelfAttn at 64x64 -> the 4096x1024 attention) with the conditional E_BIG
-encoder, random-init weights, batch 2 — the reference's
-E_align_cropping_s1.py --mtype 4 configuration. Prints one JSON line.
+Full-size biggan-deep-256 (or -512 with --img_size 512) architecture
+(channel_width 128, 1000 classes, SelfAttn at 64x64 -> the 4096x1024
+attention) with the conditional E_BIG encoder, random-init weights,
+batch 2 — the reference's E_align_cropping_s1.py --mtype 4 configuration.
+Encoder startf/layer_count follow the reference's start_features map
+(readme.md:89: 64 -> 256^2 with 7 layers, 32 -> 512^2 with 8).
+Prints one JSON line.
 
-Usage: python scripts/bench_biggan256.py [--batch 2] [--bf16]
+Usage: python scripts/bench_biggan256.py [--batch 2] [--bf16] [--img_size 512]
 """
 
 import argparse
@@ -29,6 +32,7 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--no_lpips", action="store_true")
+    ap.add_argument("--img_size", type=int, default=256, choices=(256, 512))
     args = ap.parse_args()
 
     import bench
@@ -39,17 +43,13 @@ def main():
     from tpugan.train.e_align import SynthBatch, init_train_state
     from tpugan.utils import one_hot, truncated_noise_sample
 
-    # biggan-deep-256 layout (biggan_generator.py:33-46 zoo)
-    cfg = BigGANConfig(
-        output_dim=256, z_dim=128, class_embed_dim=128, channel_width=128,
-        num_classes=1000,
-        layers=[(False, 16, 16), (True, 16, 16), (False, 16, 16), (True, 16, 8),
-                (False, 8, 8), (True, 8, 8), (False, 8, 8), (True, 8, 4),
-                (False, 4, 4), (True, 4, 2), (False, 2, 2), (True, 2, 1)],
-        attention_layer_position=8,
-    )
+    # biggan-deep zoo layouts (biggan_generator.py:33-46)
+    cfg = BigGANConfig.for_resolution(args.img_size, z_dim=128)
     model = BigGAN(cfg)
-    enc = BigGANEncoder(startf=64, maxf=512, layer_count=7, cond_dim=256, z_dim=128)
+    startf, layer_count = {256: (64, 7), 512: (32, 8)}[args.img_size]
+    enc = BigGANEncoder(
+        startf=startf, maxf=512, layer_count=layer_count, cond_dim=256, z_dim=128
+    )
     key = jax.random.PRNGKey(0)
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
@@ -58,7 +58,7 @@ def main():
         )
         evars = jax.jit(
             lambda x, c: enc.init({"params": key, "noise": key}, x, c)
-        )(jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256)))
+        )(jnp.zeros((1, args.img_size, args.img_size, 3)), jnp.zeros((1, 256)))
 
     truncation = 0.4
 
@@ -96,7 +96,8 @@ def main():
     bw = bench.chip_hbm_bw()
     dt, flops, nbytes = bench.time_step(step, state, gvars, iters=args.iters, want_flops=True)
     entry = bench.metric_entry(
-        "e_big_align_train_images_per_sec_256", args.batch, dt, flops, peak, nbytes, bw
+        f"e_big_align_train_images_per_sec_{args.img_size}",
+        args.batch, dt, flops, peak, nbytes, bw,
     )
     entry["bf16"] = args.bf16
     print(json.dumps(entry))

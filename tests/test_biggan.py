@@ -130,6 +130,42 @@ def test_biggan_config_json_roundtrip(tmp_path):
     assert cfg2.attention_layer_position == 1
 
 
+def test_biggan_config_for_resolution_layouts():
+    """The three zoo presets (biggan_file_utils.py:34-36 checkpoints) produce
+    their nominal resolution: 4x4 const doubled once per up layer, and the
+    SelfAttn at position 8 always sits at 64x64."""
+    for res, n_layers in [(128, 10), (256, 12), (512, 14)]:
+        cfg = BigGANConfig.for_resolution(res, z_dim=8)
+        assert len(cfg.layers) == n_layers
+        ups = sum(1 for up, _, _ in cfg.layers if up)
+        assert 4 * 2**ups == res == cfg.output_dim
+        assert cfg.z_dim == 8
+        # attention position 8 = after 4 up layers in every layout
+        assert sum(1 for up, _, _ in cfg.layers[: cfg.attention_layer_position] if up) == 4
+    assert BigGANConfig.for_resolution(128).layers == BigGANConfig().layers
+    with pytest.raises(ValueError):
+        BigGANConfig.for_resolution(64)
+
+
+@pytest.mark.slow
+def test_biggan_512_layout_forward():
+    """A thin-width biggan-deep-512 layout runs end-to-end and emits
+    512x512 RGB (the widest zoo config; biggan_generator.py:313-314)."""
+    # width 4 keeps the GenBlock bottleneck (in_ch // 4) nonzero at the
+    # (1, 1)-mul top layers while staying CPU-cheap
+    cfg = BigGANConfig.for_resolution(
+        512, z_dim=8, class_embed_dim=8, channel_width=4, num_classes=10, n_stats=3
+    )
+    model = BigGAN(cfg)
+    z = jnp.zeros((1, 8))
+    label = jax.nn.one_hot(jnp.array([3]), 10)
+    variables = model.init(jax.random.PRNGKey(0), z, label, 0.4)
+    image, cond = model.apply(variables, z, label, 0.4)
+    assert image.shape == (1, 512, 512, 3)
+    assert cond.shape == (1, 16)
+    assert bool(jnp.all(jnp.isfinite(image)))
+
+
 @pytest.mark.slow
 def test_pg_encoder_shapes(rng):
     enc = PGEncoder(startf=64, maxf=512, layer_count=7, latent_size=512)

@@ -246,7 +246,7 @@ def build_bundle(args) -> GanBundle:
         cfg = (
             BigGANConfig.from_json_file(args.config_dir)
             if args.config_dir
-            else BigGANConfig(output_dim=args.img_size, z_dim=args.z_dim)
+            else BigGANConfig.for_resolution(args.img_size, z_dim=args.z_dim)
         )
         model = BigGAN(cfg)
         with jax.default_device(cpu):

@@ -75,6 +75,32 @@ class BigGANConfig:
     def hashable_layers(self):
         return tuple(tuple(t) for t in self.layers)
 
+    @classmethod
+    def for_resolution(cls, output_dim: int, **kw) -> "BigGANConfig":
+        """Zoo layer layouts for the three biggan-deep checkpoints the
+        reference's from_pretrained map covers (biggan_file_utils zoo,
+        biggan_generator.py:33-46): 128 (the dataclass default), 256, 512.
+        The JSON config shipped with each checkpoint is authoritative;
+        this preset lets ``--mtype 4`` run without ``--config_dir``."""
+        layouts = {
+            128: [(False, 16, 16), (True, 16, 16), (False, 16, 16), (True, 16, 8),
+                  (False, 8, 8), (True, 8, 4), (False, 4, 4), (True, 4, 2),
+                  (False, 2, 2), (True, 2, 1)],
+            256: [(False, 16, 16), (True, 16, 16), (False, 16, 16), (True, 16, 8),
+                  (False, 8, 8), (True, 8, 8), (False, 8, 8), (True, 8, 4),
+                  (False, 4, 4), (True, 4, 2), (False, 2, 2), (True, 2, 1)],
+            512: [(False, 16, 16), (True, 16, 16), (False, 16, 16), (True, 16, 8),
+                  (False, 8, 8), (True, 8, 8), (False, 8, 8), (True, 8, 4),
+                  (False, 4, 4), (True, 4, 2), (False, 2, 2), (True, 2, 1),
+                  (False, 1, 1), (True, 1, 1)],
+        }
+        if output_dim not in layouts:
+            raise ValueError(
+                f"no biggan-deep zoo layout for {output_dim}; pass --config_dir "
+                "with the checkpoint's JSON config (choices: 128/256/512)"
+            )
+        return cls(output_dim=output_dim, layers=layouts[output_dim], **kw)
+
 
 class SelfAttn(nn.Module):
     """SAGAN self-attention (:58-97): theta/phi(pooled)/g(pooled)/o 1x1
