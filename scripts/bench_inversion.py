@@ -1,12 +1,14 @@
 """Real-image inversion throughput (BASELINE.md config 5).
 
-Times the jitted 100-iteration optimize-w chunk of invert/embedding on the
+Times the jitted 100-iteration chunk of invert/embedding on the
 StyleGANv1-1024 E_Blur pipeline (embedding_img.py defaults: batch 1,
-lr 0.01, 1500 iterations per image). Prints one JSON line with
+lr 0.01, 1500 iterations per image) in either mode: optimize-w (default)
+or --optimizeE fine-tune-E, the reference's primary mode (LREQAdam over
+all E params, embedding_img.py:66-83). Prints one JSON line with
 iterations/sec — the reference runs the same loop eagerly in torch with
 per-step host logging.
 
-Usage: python scripts/bench_inversion.py [--img_size 1024] [--bf16]
+Usage: python scripts/bench_inversion.py [--img_size 1024] [--bf16] [--optimizeE]
 """
 
 import argparse
@@ -31,6 +33,10 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--chunks", type=int, default=3)
     ap.add_argument("--no_lpips", action="store_true")
+    ap.add_argument("--optimizeE", action="store_true",
+                    help="fine-tune-E mode (the reference's primary mode, "
+                         "embedding_img.py:66-83): LREQAdam over all E "
+                         "params instead of the w vector")
     args = ap.parse_args()
 
     import math
@@ -75,8 +81,15 @@ def main():
 
         frozen = bf16_frozen(frozen)
 
+    if args.bf16 and args.optimizeE:
+        from tpugan.precision import bf16_encode
+
+        encode = bf16_encode(encode)
+
     coefs = lreq_coef_tree(evars["params"], evars["lreq"])
-    cfg = EmbeddingConfig(iterations=100 * args.chunks, lr=0.01, optimize_e=False, chunk=100)
+    cfg = EmbeddingConfig(
+        iterations=100 * args.chunks, lr=0.01, optimize_e=args.optimizeE, chunk=100
+    )
     from tpugan.losses.lpips import random_lpips_fn
 
     invert = make_embedder(
@@ -93,8 +106,9 @@ def main():
     jax.block_until_ready(result.w)
     dt = time.perf_counter() - t0
     iters = cfg.iterations
+    mode = "finetune_e" if args.optimizeE else "optimize_w"
     print(json.dumps({
-        "metric": f"inversion_optimize_w_iters_per_sec_{args.img_size}",
+        "metric": f"inversion_{mode}_iters_per_sec_{args.img_size}",
         "value": round(iters / dt, 2),
         "unit": "iterations/sec/chip (batch 1)",
         "ms_per_iteration": round(dt / iters * 1e3, 2),
