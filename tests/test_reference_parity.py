@@ -441,6 +441,62 @@ def test_biggan_generator_parity():
     np.testing.assert_allclose(to_nchw(img), img_ref.numpy(), rtol=2e-3, atol=5e-4)
 
 
+def test_biggan_512_tail_parity():
+    """The biggan-deep-512 zoo layout's distinctive blocks — the trailing
+    (False,1,1)/(True,1,1) same-channel pair, where the GenBlock bottleneck
+    collapses to in_ch//4 and the channel-drop skip is a no-op, plus an
+    up-with-same-channels block — against the reference torch BigGAN
+    (biggan_generator.py:153-203) on a width-4 miniature of that layout."""
+    from model.biggan_generator import BigGAN as RefBigGAN
+    from model.utils.biggan_config import BigGANConfig as RefConfig
+
+    from tpugan.models.biggan import BigGAN, BigGANConfig
+
+    ref_cfg = RefConfig(
+        output_dim=256, z_dim=16, class_embed_dim=16, channel_width=4,
+        num_classes=10,
+        layers=[(False, 16, 16), (True, 16, 8), (True, 8, 8), (True, 8, 4),
+                (True, 4, 2), (True, 2, 1), (False, 1, 1), (True, 1, 1)],
+        attention_layer_position=2, eps=1e-4, n_stats=51,
+    )
+    ref = RefBigGAN(ref_cfg)
+    seed_state(ref, 52)
+    with torch.no_grad():
+        for name, b in ref.named_buffers():
+            if name.endswith("running_vars"):
+                b.abs_().add_(0.5)
+    g = torch.Generator().manual_seed(38)
+    z = torch.randn(2, ref_cfg.z_dim, generator=g)
+    label = torch.zeros(2, ref_cfg.num_classes)
+    label[0, 1] = 1.0
+    label[1, 9] = 1.0
+    ref.train()
+    with torch.no_grad():
+        for _ in range(30):
+            ref(z, label, 0.4)
+    ref.eval()
+    with torch.no_grad():
+        img_ref, cond_ref = ref(z, label, 0.4)
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    converted = convert.biggan(state)
+    cfg = BigGANConfig(
+        output_dim=ref_cfg.output_dim, z_dim=ref_cfg.z_dim,
+        class_embed_dim=ref_cfg.class_embed_dim,
+        channel_width=ref_cfg.channel_width, num_classes=ref_cfg.num_classes,
+        layers=[tuple(t) for t in ref_cfg.layers],
+        attention_layer_position=ref_cfg.attention_layer_position,
+        eps=ref_cfg.eps, n_stats=ref_cfg.n_stats,
+    )
+    ours = BigGAN(cfg)
+    img, cond = ours.apply(
+        jax.tree.map(jnp.asarray, converted),
+        jnp.asarray(z.numpy()), jnp.asarray(label.numpy()), 0.4,
+    )
+    np.testing.assert_allclose(np.asarray(cond), cond_ref.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(to_nchw(img), img_ref.numpy(), rtol=2e-3, atol=5e-4)
+
+
 def test_biggan_encoder_parity():
     from model.E.E_BIG import BE as BE_BIG
 
