@@ -82,9 +82,9 @@ def main():
         frozen = bf16_frozen(frozen)
 
     if args.bf16 and args.optimizeE:
-        from tpugan.precision import bf16_encode
+        from tpugan.precision import bf16_encode_images
 
-        encode = bf16_encode(encode)
+        encode = bf16_encode_images(encode)
 
     coefs = lreq_coef_tree(evars["params"], evars["lreq"])
     cfg = EmbeddingConfig(

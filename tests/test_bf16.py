@@ -234,3 +234,41 @@ def test_bf16_lpips_tracks_fp32():
     b = jnp.asarray(np.tanh(rng.randn(2, 64, 64, 3)).astype(np.float32))
     da, db = np.asarray(fp32(a, b)), np.asarray(bf16(a, b))
     assert np.all(np.abs(da - db) / np.maximum(np.abs(da), 1e-6) < 0.02), (da, db)
+
+
+def test_bf16_encode_images_close_and_sn_signature():
+    """bf16_encode_images (the inversion fine-tune-E encoder lever,
+    scripts/bench_inversion.py --optimizeE --bf16 / cli/embedding.py):
+    outputs stay fp32 and close to the fp32 encoder, and the wrapper
+    mirrors the inner closure's ``sn`` parameter so make_embedder's
+    encode_accepts_sn dispatch sees the same threading convention."""
+    from tpugan.models import Encoder
+    from tpugan.nn.spectral import encode_accepts_sn
+    from tpugan.precision import bf16_encode_images
+
+    enc = Encoder(startf=16, maxf=64, layer_count=4, latent_size=64, use_blur=True)
+    key = jax.random.PRNGKey(3)
+    evars = enc.init({"params": key, "noise": key}, jnp.zeros((1, 32, 32, 3)))
+    extra = {k: v for k, v in evars.items() if k != "params"}
+
+    def encode(params, imgs):
+        return enc.apply({**extra, "params": params}, imgs,
+                         rngs={"noise": jax.random.PRNGKey(0)})
+
+    imgs = jnp.tanh(jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3)))
+    const_fp32, w_fp32 = encode(evars["params"], imgs)
+    wrapped = bf16_encode_images(encode)
+    assert not encode_accepts_sn(wrapped)
+    const16, w16 = wrapped(evars["params"], imgs)
+    assert const16.dtype == jnp.float32 and w16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(w16), np.asarray(w_fp32), atol=0.05)
+    np.testing.assert_allclose(np.asarray(const16), np.asarray(const_fp32),
+                               rtol=0.1, atol=0.05)
+
+    def encode_sn(params, imgs, sn=None):
+        return encode(params, imgs)
+
+    wrapped_sn = bf16_encode_images(encode_sn)
+    assert encode_accepts_sn(wrapped_sn)
+    c2, w2 = wrapped_sn(evars["params"], imgs, None)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w16), atol=1e-6)

@@ -61,6 +61,30 @@ def test_embedding_cli_optimize_w(tmp_path):
     assert w_all.shape == (2, 6, 512)
 
 
+def test_embedding_cli_finetune_e_bf16(tmp_path):
+    """--optimizeE true --bf16: fine-tune-E with bf16 encoder compute
+    (bf16_encode_images wiring in cli/embedding.py) runs end-to-end and
+    emits fp32 w codes."""
+    from tpugan.cli.embedding import main
+    from tpugan.io.image import save_image
+
+    img_dir = str(tmp_path / "imgs_in")
+    os.makedirs(img_dir)
+    rngs = np.random.RandomState(0)
+    save_image(os.path.join(img_dir, "0.png"), rngs.rand(16, 16, 3).astype(np.float32))
+
+    exp = str(tmp_path / "exp_embed_e")
+    main(
+        ["--mtype", "1", *TINY, "--iterations", "4", "--batch_size", "1",
+         "--img_dir", img_dir, "--optimizeE", "true", "--bf16",
+         "--experiment_dir", exp]
+    )
+    w_all = np.load(os.path.join(exp, "models", "w_all.npy"))
+    assert w_all.shape == (1, 6, 512)
+    assert w_all.dtype == np.float32
+    assert np.all(np.isfinite(w_all))
+
+
 def test_edit_cli(tmp_path):
     from tpugan.cli.edit import main
 

@@ -96,6 +96,13 @@ def main(argv=None):
             return base_resynth(frozen, w.astype(jnp.bfloat16)).astype(jnp.float32)
 
         frozen_w = bf16_frozen(frozen_w)
+        if args.optimizeE:
+            # fine-tune-E backprops through E every iteration, so bf16
+            # encoder compute is the same lever the training CLIs use
+            # (e_align.py:101); fp32 master weights + LREQAdam state
+            from tpugan.precision import bf16_encode_images
+
+            encode = bf16_encode_images(encode)
 
     vgg = vgg_vars = None
     if args.gradcam:

@@ -84,6 +84,36 @@ def bf16_encode(encode):
     return wrapped
 
 
+def bf16_encode_images(encode):
+    """bf16 compute for an inversion-style ``encode(params, imgs[, sn])``
+    taking a raw image array (invert/embedding.py), the fine-tune-E analog
+    of ``bf16_encode`` (which wraps the train-step ``(params, batch, key)``
+    signature): params and images cast down at the boundary, every float
+    output cast back to fp32 — gradients (the transpose of astype is
+    astype back) and LREQAdam state stay fp32.
+
+    The wrapper mirrors the inner closure's ``sn`` parameter so
+    ``encode_accepts_sn`` sees the same threading convention."""
+
+    from tpugan.nn.spectral import encode_accepts_sn
+
+    if encode_accepts_sn(encode):
+
+        def wrapped(params, imgs, sn):
+            p16 = cast_floating(params, jnp.bfloat16)
+            out = encode(p16, imgs.astype(jnp.bfloat16), sn)
+            return cast_floating(out, jnp.float32)
+
+    else:
+
+        def wrapped(params, imgs):
+            p16 = cast_floating(params, jnp.bfloat16)
+            out = encode(p16, imgs.astype(jnp.bfloat16))
+            return cast_floating(out, jnp.float32)
+
+    return wrapped
+
+
 def bf16_lpips(lpips_fn, params_already_cast: bool = False):
     """Wrap an LPIPS closure so the VGG backbone computes in bf16.
 
