@@ -98,7 +98,7 @@ def bench_lpips_fn(bf16=False):
     return random_lpips_fn(dtype=jnp.bfloat16 if bf16 else None)
 
 
-def build_sg1_step(batch, bf16=False, lpips_fn=None):
+def build_sg1_step(batch, bf16=False, lpips_fn=None, lean=False):
     from tpugan.models import Encoder, StyleGANv1Generator, StyleGANv1Mapping
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -138,6 +138,7 @@ def build_sg1_step(batch, bf16=False, lpips_fn=None):
         batch_size=batch,
         case=1,
         lpips_fn=lpips_fn,
+        compute_image_losses=not lean,
     )
     state = init_train_state(enc_vars["params"], opt)
     return step, state, frozen
@@ -309,6 +310,24 @@ def main():
             extras.append(eb)
         except Exception as e:
             extras.append({"metric": "e_align_256_bf16", "error": str(e)[:200]})
+        # lean off-tick step (the CLI's default between log ticks): the
+        # detached/log-only image branch is skipped — update BITWISE the
+        # full step's (tests/test_train.py::test_lean_step_bitwise).
+        # Sustained CLI throughput at log_every=100 is 99/100 of this plus
+        # 1/100 of the full step; the headline metric above stays the
+        # full reference-parity workload.
+        try:
+            stepl, statel, frozenl = build_sg1_step(
+                BATCH, bf16=True, lpips_fn=bench_lpips_fn(bf16=True), lean=True
+            )
+            dtl, flopsl, nbl = time_step(stepl, statel, frozenl, iters=30, want_flops=True)
+            el = metric_entry(
+                "e_align_train_images_per_sec_256_bf16_lean", BATCH, dtl, flopsl, peak, nbl, bw
+            )
+            el["workload"] = "off-tick lean step (log-only image branch skipped)"
+            extras.append(el)
+        except Exception as e:
+            extras.append({"metric": "e_align_256_bf16_lean", "error": str(e)[:200]})
         # flagship heavy config: SG2-1024 case-2 E_Blur (fp32 and bf16)
         try:
             step2, state2, frozen2 = build_sg2_step(batch=2, res=1024, lpips_fn=lpips_fn)

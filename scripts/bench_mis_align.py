@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--bf16_cam", action="store_true",
                     help="run the CAM++/GBP VGG16 stack in bf16 too "
                          "(attention losses are log-only)")
+    ap.add_argument("--lean", action="store_true",
+                    help="the CLI's off-tick lean step: skip the log-only "
+                         "CAM/GBP/image stack entirely (update bitwise "
+                         "identical; sustained = 99/100 lean + 1/100 full "
+                         "at log_every=100)")
     args = ap.parse_args()
 
     import bench
@@ -105,6 +110,7 @@ def main():
         lpips_fn=None if args.no_lpips else bench.bench_lpips_fn(bf16=args.bf16),
         vgg_guided=None if args.no_gbp else VGG16(guided=True),
         cam_bf16=args.bf16_cam,
+        compute_attention_losses=not args.lean,
     )
     state = init_train_state(enc_vars["params"], opt)
 
@@ -118,15 +124,19 @@ def main():
         step3, state, (frozen, vgg_vars), iters=args.iters, want_flops=True
     )
     entry = bench.metric_entry(
-        "e_mis_align_train_images_per_sec_256", args.batch, dt, flops, peak,
-        nbytes, bw,
+        "e_mis_align_train_images_per_sec_256"
+        + ("_lean" if args.lean else ""),
+        args.batch, dt, flops, peak, nbytes, bw,
     )
     entry["bf16"] = args.bf16
-    entry["workload"] = (
-        "in-graph CAM++ (2x VGG fwd+bwd) + guided backprop (2x VGG fwd+bwd)"
-        " + LPIPS (6 VGG fwd) per iteration"
-        if not args.no_gbp else "in-graph CAM++ + LPIPS, no GBP"
-    )
+    if args.lean:
+        entry["workload"] = "off-tick lean step (log-only CAM/GBP/image stack skipped)"
+    else:
+        entry["workload"] = (
+            "in-graph CAM++ (2x VGG fwd+bwd) + guided backprop (2x VGG fwd+bwd)"
+            " + LPIPS (6 VGG fwd) per iteration"
+            if not args.no_gbp else "in-graph CAM++ + LPIPS, no GBP"
+        )
     print(json.dumps(entry))
 
 

@@ -245,3 +245,82 @@ def test_mis_align_cam_bf16_close():
     np.testing.assert_allclose(float(i16.loss_mask.mse), float(i32.loss_mask.mse), rtol=0.1, atol=1e-3)
     np.testing.assert_allclose(float(i16.loss_gcam.mse), float(i32.loss_gcam.mse), rtol=0.1, atol=1e-3)
     np.testing.assert_allclose(float(i16.loss_tsa), float(i32.loss_tsa), rtol=0.1)
+
+
+def test_lean_step_bitwise():
+    """compute_image_losses=False (the CLI's off-tick lean step): the
+    case-1 image branch is detached/log-only, so a 3-step trajectory with
+    lean steps between ticks must be BITWISE the all-full trajectory, and
+    the skipped groups read zero while latent scalars match exactly."""
+    step_full, state_a, frozen = _tiny_setup(1, lpips_fn=None)
+    step_lean, state_b, _ = _tiny_setup(1, lpips_fn=None, compute_image_losses=False)
+    step_full, step_lean = jax.jit(step_full), jax.jit(step_lean)
+
+    info_full = info_lean = None
+    for it in range(3):
+        state_a, i_a = step_full(state_a, jnp.int32(it), frozen)
+        fn = step_full if it == 0 else step_lean
+        state_b, i_b = fn(state_b, jnp.int32(it), frozen)
+        info_full, info_lean = i_a, i_b
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(info_lean.loss_imgs.mse) == 0.0
+    assert float(info_lean.loss_tsa) == 0.0
+    np.testing.assert_array_equal(
+        np.asarray(info_lean.loss_mtv), np.asarray(info_full.loss_mtv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(info_lean.loss_w.mse), np.asarray(info_full.loss_w.mse)
+    )
+
+
+def test_lean_step_requires_detached_losses():
+    with pytest.raises(ValueError):
+        _tiny_setup(2, compute_image_losses=False)
+
+
+def test_lean_step_bitwise_mis_align():
+    """compute_attention_losses=False: the mis-align CAM/GBP/image stack is
+    log-only by construction, so lean off-tick steps keep the trajectory
+    bitwise identical."""
+    from tpugan.losses.vgg import VGG16
+    from tpugan.train.e_mis_align import make_mis_align_step
+
+    layer_count, startf, latent, batch = 3, 8, 32, 2
+    gen = StyleGANv1Generator(startf=startf, maxf=32, layer_count=layer_count, latent_size=latent)
+    gm = StyleGANv1Mapping(
+        num_layers=2 * layer_count, mapping_layers=2, latent_size=latent,
+        dlatent_size=latent, mapping_fmaps=latent,
+    )
+    enc = Encoder(startf=startf, maxf=32, layer_count=layer_count, latent_size=latent)
+    key = jax.random.PRNGKey(0)
+    gm_vars = gm.init(key, jnp.zeros((batch, latent)))
+    gen_vars = gen.init({"params": key, "noise": key}, jnp.zeros((batch, 2 * layer_count, latent)))
+    enc_vars = enc.init({"params": key, "noise": key}, jnp.zeros((batch, 16, 16, 3)))
+    opt = lreq_adam(0.0015, coefs=lreq_coef_tree(enc_vars["params"], enc_vars["lreq"]))
+    synth, resynth, frozen = build_stylegan1_pipeline(gen, gm, gen_vars, gm_vars, lod=layer_count - 1)
+    vgg = VGG16()
+    vgg_guided = VGG16(guided=True)
+    vgg_vars = vgg.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)))
+    encode = make_encode_fn(enc, {k: v for k, v in enc_vars.items() if k != "params"})
+
+    def build(compute):
+        return jax.jit(make_mis_align_step(
+            encode=encode, synth=synth, resynth=resynth, optimizer=opt,
+            vgg=vgg, z_dim=latent, batch_size=batch,
+            vgg_guided=vgg_guided, compute_attention_losses=compute,
+        ))
+
+    full, lean = build(True), build(False)
+    state_a = init_train_state(enc_vars["params"], opt)
+    state_b = init_train_state(enc_vars["params"], opt)
+    for it in range(3):
+        state_a, i_a = full(state_a, jnp.int32(it), frozen, vgg_vars)
+        fn = full if it == 0 else lean
+        state_b, i_b = fn(state_b, jnp.int32(it), frozen, vgg_vars)
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(i_b.loss_mask.mse) == 0.0
+    np.testing.assert_array_equal(
+        np.asarray(i_b.loss_mtv), np.asarray(i_a.loss_mtv)
+    )

@@ -30,6 +30,14 @@ def main(argv=None):
                              "in tests/test_bf16.py)")
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--checkpoint_every", type=int, default=5000)
+    parser.add_argument("--eager_metrics", action="store_true",
+                        help="compute the log-only image losses on EVERY "
+                             "iteration like the reference's eager loop. By "
+                             "default (case 1, where they are detached) "
+                             "off-tick steps skip them — the parameter "
+                             "trajectory is bitwise identical and the logged "
+                             "records unchanged, but each off-tick step drops "
+                             "the resynthesis + six VGG16 LPIPS passes")
     args = parser.parse_args(argv)
 
     import jax
@@ -117,6 +125,20 @@ def main(argv=None):
         sequential_image_steps=sequential_image_steps,
     )
     jitted = jax.jit(step, donate_argnums=(0,))
+    jitted_lean = None
+    if case == 1 and not ab and not args.eager_metrics:
+        # off-tick steps skip the detached (log-only) image branch; the
+        # update is bitwise the full step's (make_train_step docstring)
+        lean = make_train_step(
+            encode=encode_used, synth=synth_fn, resynth=resynth_fn,
+            optimizer=opt, z_dim=bundle.z_dim, batch_size=args.batch_size,
+            case=case, lpips_fn=lpips_fn, mesh=mesh,
+            spatial=args.space_shards > 1, image_weights=image_weights,
+            latent_weights=latent_weights, remat=args.remat,
+            remat_policy=args.remat_policy,
+            compute_image_losses=False,
+        )
+        jitted_lean = jax.jit(lean, donate_argnums=(0,))
     frozen = bundle.frozen
     if args.bf16:
         from tpugan.precision import bf16_frozen
@@ -139,8 +161,10 @@ def main(argv=None):
 
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
     for iteration in range(args.iterations):
-        state, info = jitted(state, jnp.int32(iteration), frozen)
-        if iteration % args.log_every == 0:
+        on_tick = iteration % args.log_every == 0
+        step_fn = jitted if (on_tick or jitted_lean is None) else jitted_lean
+        state, info = step_fn(state, jnp.int32(iteration), frozen)
+        if on_tick:
             from tpugan.train.e_align import info_scalars
 
             # the full ~35-scalar set the reference logs per iteration

@@ -24,6 +24,12 @@ def main(argv=None):
                              "fp32; gate in tests/test_train.py)")
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--checkpoint_every", type=int, default=5000)
+    parser.add_argument("--eager_metrics", action="store_true",
+                        help="compute the log-only attention/image losses on "
+                             "EVERY iteration like the reference. By default "
+                             "off-tick steps skip the whole CAM++/GBP/image "
+                             "stack (log-only by construction) — trajectory "
+                             "bitwise identical, logged records unchanged")
     args = parser.parse_args(argv)
     # reference default batch for the mis-align script is 5 (:307-310)
     if args.batch_size == 2:
@@ -85,6 +91,16 @@ def main(argv=None):
         cam_bf16=args.bf16,
     )
     jitted = jax.jit(step)
+    jitted_lean = None
+    if not args.eager_metrics:
+        lean = make_mis_align_step(
+            encode=encode_used, synth=synth_used, resynth=resynth_used,
+            optimizer=opt, vgg=vgg, z_dim=bundle.z_dim,
+            batch_size=args.batch_size, lpips_fn=build_lpips_fn(args),
+            vgg_guided=vgg_guided, mesh=mesh, cam_bf16=args.bf16,
+            compute_attention_losses=False,
+        )
+        jitted_lean = jax.jit(lean)
     from tpugan.train.e_mis_align import make_mis_align_visuals
 
     visuals = jax.jit(
@@ -115,8 +131,10 @@ def main(argv=None):
     )
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
     for iteration in range(args.iterations):
-        state, info = jitted(state, jnp.int32(iteration), frozen, vgg_vars)
-        if iteration % args.log_every == 0:
+        on_tick = iteration % args.log_every == 0
+        step_fn = jitted if (on_tick or jitted_lean is None) else jitted_lean
+        state, info = step_fn(state, jnp.int32(iteration), frozen, vgg_vars)
+        if on_tick:
             from tpugan.train.e_align import info_scalars
 
             # full per-group scalar set (E_mis_align_cropping_s1.py logs

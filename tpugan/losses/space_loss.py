@@ -38,6 +38,13 @@ class SpaceLossInfo(NamedTuple):
     lpips: jax.Array
 
 
+def zero_space_info() -> SpaceLossInfo:
+    """Placeholder info for loss groups a step skips (lean off-tick steps,
+    mis-align without guided-backprop)."""
+    z = jnp.float32(0.0)
+    return SpaceLossInfo(mse=z, mse_mean=z, mse_std=z, kl=z, cosine=z, ssim=z, lpips=z)
+
+
 def _unbiased_std(x: jax.Array) -> jax.Array:
     n = x.size
     mean = jnp.mean(x)

@@ -171,6 +171,7 @@ def make_train_step(
     remat: bool = False,
     remat_policy: Optional[str] = None,
     sequential_image_steps: bool = False,
+    compute_image_losses: bool = True,
 ):
     """Build the jitted per-iteration train step.
 
@@ -188,6 +189,16 @@ def make_train_step(
     through ``image_weights=(full, at1, at2)``, ``latent_weights=(w, c)``
     (each scaled by 0.01 like the reference) and ``detach_image_losses``;
     None picks the case defaults.
+
+    ``compute_image_losses=False`` builds the LEAN step for off-tick
+    iterations: when the image-space losses are detached (case 1), they
+    are log-only — the reference computes them every iteration only
+    because its eager loop logs every iteration, while this CLI reads the
+    scalars at its logging cadence. Skipping the resynthesis + the three
+    image space_loss groups (six VGG16 LPIPS passes) between ticks leaves
+    the parameter trajectory BITWISE identical (the gradient comes from
+    the latent loss alone; tests/test_train.py::test_lean_step_bitwise)
+    and their info fields zero. Invalid when image losses carry gradient.
 
     ``sequential_image_steps`` reproduces the ablation-7/8 update
     structure (7.E_align_x_AT1.py:73-86 / 8.E_align_x_AT1_AT2.py:72-116):
@@ -208,6 +219,12 @@ def make_train_step(
         latent_weights = (1.0, 0.0)  # loss_c excluded in both scripts (:216)
     if detach_image_losses is None:
         detach_image_losses = case == 1
+    if not compute_image_losses and not detach_image_losses:
+        raise ValueError(
+            "compute_image_losses=False requires detached (log-only) image "
+            "losses; with gradients flowing through them (case 2 / ablation "
+            ">=6) the lean step would change the trajectory"
+        )
     if remat:
         # rematerialise encoder/generator activations in the backward pass
         # (the 1024^2 pixel-gradient memory knob, SURVEY.md §5)
@@ -249,21 +266,27 @@ def make_train_step(
         const2, w2 = encode(params, batch, key_enc, sn) if accepts_sn else encode(
             params, batch, key_enc
         )
-        imgs2 = resynth(frozen, w2, batch, key_resynth)
+        if compute_image_losses:
+            imgs2 = resynth(frozen, w2, batch, key_resynth)
 
-        if detach_image_losses:
-            # reference detaches both sides of every image-space loss
-            # (E_align_cropping_s1.py:185-201): log-only, no gradient
-            i1 = jax.lax.stop_gradient(batch.imgs1)
-            i2 = jax.lax.stop_gradient(imgs2)
+            if detach_image_losses:
+                # reference detaches both sides of every image-space loss
+                # (E_align_cropping_s1.py:185-201): log-only, no gradient
+                i1 = jax.lax.stop_gradient(batch.imgs1)
+                i2 = jax.lax.stop_gradient(imgs2)
+            else:
+                i1, i2 = batch.imgs1, imgs2
+
+            l_imgs, i_imgs = space_loss(i1, i2, lpips_fn=lpips_fn)
+            at1_1, at2_1 = attention_crops(i1)
+            at1_2, at2_2 = attention_crops(i2)
+            l_med, i_med = space_loss(at1_1, at1_2, lpips_fn=lpips_fn)
+            l_small, i_small = space_loss(at2_1, at2_2, lpips_fn=lpips_fn)
         else:
-            i1, i2 = batch.imgs1, imgs2
+            from tpugan.losses.space_loss import zero_space_info
 
-        l_imgs, i_imgs = space_loss(i1, i2, lpips_fn=lpips_fn)
-        at1_1, at2_1 = attention_crops(i1)
-        at1_2, at2_2 = attention_crops(i2)
-        l_med, i_med = space_loss(at1_1, at1_2, lpips_fn=lpips_fn)
-        l_small, i_small = space_loss(at2_1, at2_2, lpips_fn=lpips_fn)
+            l_imgs = l_med = l_small = jnp.float32(0.0)
+            i_imgs = i_med = i_small = zero_space_info()
 
         wi, wm, ws = image_weights
         loss_tsa = wi * l_imgs + wm * l_med + ws * l_small  # :203 / E_align_s2.py:205

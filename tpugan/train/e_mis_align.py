@@ -42,9 +42,7 @@ class MisAlignInfo(NamedTuple):
     loss_mtv: jax.Array
 
 
-def _zero_space_info() -> SpaceLossInfo:
-    z = jnp.float32(0.0)
-    return SpaceLossInfo(mse=z, mse_mean=z, mse_std=z, kl=z, cosine=z, ssim=z, lpips=z)
+from tpugan.losses.space_loss import zero_space_info as _zero_space_info
 
 
 def make_mis_align_step(
@@ -61,6 +59,7 @@ def make_mis_align_step(
     mesh=None,
     spatial: bool = False,
     cam_bf16: bool = False,
+    compute_attention_losses: bool = True,
 ):
     """Jitted per-iteration step for the Grad-CAM training case.
 
@@ -78,7 +77,17 @@ def make_mis_align_step(
     vgg_vars and images are cast down at the attention/GBP boundary; masks
     and gb images come back fp32. The attention losses here are log-only
     (no gradient), so precision only shifts the logged scalars — gated by
-    tests/test_train.py::test_mis_align_cam_bf16_close."""
+    tests/test_train.py::test_mis_align_cam_bf16_close.
+
+    ``compute_attention_losses=False`` builds the LEAN off-tick step: the
+    whole attention stack here is log-only by construction (masks/CAMs
+    are made from detached images, imgs1/imgs2 are detached clones,
+    E_mis_align_cropping_s1.py:172-194), so skipping the resynthesis, the
+    2x CAM++ and 2x guided-backprop VGG16 forward+backward passes and the
+    three image space_loss groups between logging ticks leaves the
+    parameter trajectory BITWISE identical (gradient = latent loss only;
+    tests/test_train.py::test_lean_step_bitwise_mis_align) while their
+    info fields read zero."""
 
     from tpugan.nn.spectral import encode_accepts_sn
 
@@ -124,6 +133,22 @@ def make_mis_align_step(
             const2, w2 = (
                 encode(params, batch, ke, sn) if accepts_sn else encode(params, batch, ke)
             )
+            if not compute_attention_losses:
+                # lean off-tick step: the entire attention/image stack is
+                # log-only (see docstring) — latent losses + update only
+                l_w, i_w = space_loss(batch.w1, w2, image_space=False)
+                l_c, i_c = space_loss(
+                    jax.lax.stop_gradient(batch.const1), const2, image_space=False
+                )
+                loss_mtv = 0.01 * l_w
+                zi = _zero_space_info()
+                info = MisAlignInfo(
+                    loss_imgs=zi, loss_mask=zi, loss_gcam=zi, loss_grad=zi,
+                    loss_w=i_w, loss_c=i_c,
+                    loss_tsa=jnp.float32(0.0), loss_mtv=loss_mtv,
+                )
+                return loss_mtv, info
+
             imgs2 = resynth(frozen, w2, batch, kg2)
             i1 = jax.lax.stop_gradient(batch.imgs1)
             i2 = jax.lax.stop_gradient(imgs2)
