@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--no_lpips", action="store_true")
     ap.add_argument("--img_size", type=int, default=256, choices=(256, 512))
+    ap.add_argument("--lean", action="store_true",
+                    help="the CLI's off-tick lean step: skip the detached "
+                         "(log-only) image branch — resynthesis + six VGG16 "
+                         "LPIPS passes (update bitwise identical)")
     args = ap.parse_args()
 
     import bench
@@ -90,16 +94,20 @@ def main():
         encode=encode, synth=synth, resynth=resynth, optimizer=opt,
         z_dim=cfg.z_dim, batch_size=args.batch, case=1,
         lpips_fn=None if args.no_lpips else random_lpips_fn(),
+        compute_image_losses=not args.lean,
     )
     state = init_train_state(evars["params"], opt, sn=evars.get("sn"))
     peak = bench.chip_peak_flops()
     bw = bench.chip_hbm_bw()
     dt, flops, nbytes = bench.time_step(step, state, gvars, iters=args.iters, want_flops=True)
     entry = bench.metric_entry(
-        f"e_big_align_train_images_per_sec_{args.img_size}",
+        f"e_big_align_train_images_per_sec_{args.img_size}"
+        + ("_lean" if args.lean else ""),
         args.batch, dt, flops, peak, nbytes, bw,
     )
     entry["bf16"] = args.bf16
+    if args.lean:
+        entry["workload"] = "off-tick lean step (log-only image branch skipped)"
     print(json.dumps(entry))
 
 
