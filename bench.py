@@ -337,6 +337,21 @@ def main():
             )
         except Exception as e:
             extras.append({"metric": "sg2_1024_case2", "error": str(e)[:200]})
+        # BigGAN-deep-256 E_BIG training (config 4), bf16 — the zoo layout,
+        # live spectral norm, flash attention, cond BN; includes the
+        # to-rgb slice fix (BASELINE.md round-3 narrative)
+        try:
+            import subprocess
+
+            out = subprocess.run(
+                [sys.executable, "scripts/bench_biggan256.py", "--bf16"],
+                capture_output=True, text=True, timeout=2400,
+                cwd=str(pathlib.Path(__file__).resolve().parent),
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            extras.append(json.loads(line))
+        except Exception as e:
+            extras.append({"metric": "e_big_256_bf16", "error": str(e)[:200]})
         try:
             step3, state3, frozen3 = build_sg2_step(
                 batch=2, res=1024, bf16=True, enc_bf16=True,
