@@ -69,6 +69,7 @@ def main():
     def synth(frozen, k, z):
         kz, kl = jax.random.split(k)
         zt = truncated_noise_sample(kz, z.shape[0], cfg.z_dim, truncation)
+        zt = zt.astype(z.dtype)  # carry the bf16 wrapper's compute dtype
         flag = jax.random.randint(kl, (), 0, cfg.num_classes)
         label = one_hot(jnp.full((z.shape[0],), flag), cfg.num_classes)
         imgs1, cond = model.apply(frozen, zt, label, truncation)
