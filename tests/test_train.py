@@ -247,6 +247,7 @@ def test_mis_align_cam_bf16_close():
     np.testing.assert_allclose(float(i16.loss_tsa), float(i32.loss_tsa), rtol=0.1)
 
 
+@pytest.mark.slow
 def test_lean_step_bitwise():
     """compute_image_losses=False (the CLI's off-tick lean step): the
     case-1 image branch is detached/log-only, so a 3-step trajectory with
@@ -279,6 +280,7 @@ def test_lean_step_requires_detached_losses():
         _tiny_setup(2, compute_image_losses=False)
 
 
+@pytest.mark.slow
 def test_lean_step_bitwise_mis_align():
     """compute_attention_losses=False: the mis-align CAM/GBP/image stack is
     log-only by construction, so lean off-tick steps keep the trajectory
