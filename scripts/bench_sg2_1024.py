@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--remat_policy", default=None, choices=("conv_outs",))
     ap.add_argument("--no_lpips", action="store_true",
                     help="drop the LPIPS term (NOT the reference workload)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 generator + encoder compute with bf16 LPIPS "
+                         "heads (the bench.py bf16 configuration)")
     args = ap.parse_args()
 
     from tpugan.models import Encoder, StyleGAN2Generator
@@ -63,8 +66,17 @@ def main():
     def resynth(frozen, w, b, k):
         return gen.apply(frozen, w, method=gen.synthesize)["image"]
 
+    encode = make_encode_fn(enc, {k_: v for k_, v in evars.items() if k_ != "params"})
+    if args.bf16:
+        from tpugan.precision import bf16_encode, bf16_frozen, bf16_pipeline
+
+        synth, resynth = bf16_pipeline(synth, resynth)
+        encode = bf16_encode(encode)
+        gvars = bf16_frozen(gvars)
+    from tpugan.losses.lpips import random_lpips_fn
+
     step = make_train_step(
-        encode=make_encode_fn(enc, {k_: v for k_, v in evars.items() if k_ != "params"}),
+        encode=encode,
         synth=synth,
         resynth=resynth,
         optimizer=opt,
@@ -73,9 +85,9 @@ def main():
         case=2,
         remat=args.remat,
         remat_policy=args.remat_policy,
-        lpips_fn=None if args.no_lpips else __import__(
-            "tpugan.losses.lpips", fromlist=["random_lpips_fn"]
-        ).random_lpips_fn(),
+        lpips_fn=None if args.no_lpips else random_lpips_fn(
+            dtype=jnp.bfloat16 if args.bf16 else None
+        ),
     )
     from tpugan.runtime import to_accelerator
 
@@ -100,6 +112,7 @@ def main():
                 "value": round(batch / dt, 3),
                 "unit": "images/sec/chip",
                 "ms_per_step": round(dt * 1e3, 1),
+                "bf16": args.bf16,
                 "loss_tsa": float(info.loss_tsa),
             }
         )
