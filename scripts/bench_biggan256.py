@@ -94,7 +94,9 @@ def main():
     step = make_train_step(
         encode=encode, synth=synth, resynth=resynth, optimizer=opt,
         z_dim=cfg.z_dim, batch_size=args.batch, case=1,
-        lpips_fn=None if args.no_lpips else random_lpips_fn(),
+        lpips_fn=None if args.no_lpips else random_lpips_fn(
+            dtype=jnp.bfloat16 if args.bf16 else None
+        ),
         compute_image_losses=not args.lean,
     )
     state = init_train_state(evars["params"], opt, sn=evars.get("sn"))

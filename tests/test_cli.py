@@ -318,6 +318,18 @@ def test_embedding_cli_biggan_optimize_e(tmp_path):
     w_all = np.load(os.path.join(exp, "models", "w_all.npy"))
     assert w_all.shape[-1] == 8  # BigGAN z head
 
+    # --bf16 fine-tune-E: bf16_encode_images wrapper + bf16 cond_vector
+    # (the conditional-BN dtype path); outputs stay fp32
+    exp16 = str(tmp_path / "exp_embed_big16")
+    main(
+        ["--mtype", "4", "--img_size", "16", "--z_dim", "8", "--random_init",
+         "--iterations", "2", "--batch_size", "1", "--optimizeE", "true",
+         "--class_id", "3", "--img_dir", img_dir, "--experiment_dir", exp16,
+         "--start_features", "128", "--config_dir", cfg_path, "--bf16"]
+    )
+    w16 = np.load(os.path.join(exp16, "models", "w_all.npy"))
+    assert w16.dtype == np.float32 and np.all(np.isfinite(w16))
+
 
 def _fake_lpips_state_dict():
     """lpips-package (net='vgg') layout: VGG16 convs under net.sliceK.IDX,

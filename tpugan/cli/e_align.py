@@ -132,7 +132,7 @@ def main(argv=None):
         lean = make_train_step(
             encode=encode_used, synth=synth_fn, resynth=resynth_fn,
             optimizer=opt, z_dim=bundle.z_dim, batch_size=args.batch_size,
-            case=case, lpips_fn=lpips_fn, mesh=mesh,
+            case=case, lpips_fn=None, mesh=mesh,
             spatial=args.space_shards > 1, image_weights=image_weights,
             latent_weights=latent_weights, remat=args.remat,
             remat_policy=args.remat_policy,

@@ -77,6 +77,7 @@ def main(argv=None):
 
         synth_used, resynth_used = bf16_pipeline(synth_used, resynth_used)
         encode_used = bf16_encode(encode_used)
+    lpips_fn = build_lpips_fn(args)
     step = make_mis_align_step(
         encode=encode_used,
         synth=synth_used,
@@ -85,7 +86,7 @@ def main(argv=None):
         vgg=vgg,
         z_dim=bundle.z_dim,
         batch_size=args.batch_size,
-        lpips_fn=build_lpips_fn(args),
+        lpips_fn=lpips_fn,
         vgg_guided=vgg_guided,
         mesh=mesh,
         cam_bf16=args.bf16,
@@ -93,10 +94,11 @@ def main(argv=None):
     jitted = jax.jit(step)
     jitted_lean = None
     if not args.eager_metrics:
+        # the lean step never evaluates image losses, so no lpips_fn
         lean = make_mis_align_step(
             encode=encode_used, synth=synth_used, resynth=resynth_used,
             optimizer=opt, vgg=vgg, z_dim=bundle.z_dim,
-            batch_size=args.batch_size, lpips_fn=build_lpips_fn(args),
+            batch_size=args.batch_size, lpips_fn=None,
             vgg_guided=vgg_guided, mesh=mesh, cam_bf16=args.bf16,
             compute_attention_losses=False,
         )

@@ -103,6 +103,12 @@ def main(argv=None):
             from tpugan.precision import bf16_encode_images
 
             encode = bf16_encode_images(encode)
+            if cond_vector is not None:
+                # E_BIG's closure-captured condition must follow the
+                # compute dtype too, or every cond-conditioned layer
+                # silently promotes back to fp32 (bf16_encode casts the
+                # train-step const1 for the same reason)
+                cond_vector = cond_vector.astype(jnp.bfloat16)
 
     vgg = vgg_vars = None
     if args.gradcam:
