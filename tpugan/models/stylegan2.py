@@ -197,6 +197,13 @@ class ModulatedConv(nn.Module):
         style = SG2Dense(
             self.in_channels, additional_bias=1.0, activation_type="linear", name="style"
         )(w)
+        # NB: the ToRGB instances of this block (out_channels=3, k=1) are
+        # NOT subject to the BigGAN to-rgb narrow-lane pathology
+        # (models/biggan.py): zero-padding their output dim to 8/32/128
+        # lanes + barrier/slice was measured at SG2-1024 bf16 and LOST
+        # (25.2 -> 25.3/27.1/30.4 ms synthesize fwd). XLA lowers a native
+        # narrow 1x1 conv fine; the BigGAN problem was the slice SINKING
+        # into a wide 3x3 conv.
 
         # demodulation norm over (k, k, in) of the style-scaled weight;
         # accumulated in fp32 regardless of compute dtype (bf16-safe)
