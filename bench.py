@@ -299,6 +299,20 @@ def main():
             )
         except Exception as e:  # never lose the primary line
             extras.append({"metric": "e_align_b32", "error": str(e)[:200]})
+        # bf16 variant of the best-throughput batch (40% MFU full /
+        # 45% MFU lean, BASELINE.md lean-step table)
+        try:
+            s32b, st32b, fr32b = build_sg1_step(
+                32, bf16=True, lpips_fn=bench_lpips_fn(bf16=True)
+            )
+            d32b, f32b, n32b = time_step(s32b, st32b, fr32b, iters=10, want_flops=True)
+            extras.append(
+                metric_entry(
+                    "e_align_train_images_per_sec_256_b32_bf16", 32, d32b, f32b, peak, n32b, bw
+                )
+            )
+        except Exception as e:
+            extras.append({"metric": "e_align_b32_bf16", "error": str(e)[:200]})
         # bf16 variant of the primary config (parity-gated)
         try:
             stepb, stateb, frozenb = build_sg1_step(
