@@ -85,6 +85,21 @@ def test_embedding_cli_finetune_e_bf16(tmp_path):
     assert np.all(np.isfinite(w_all))
 
 
+def test_export_model_cli(tmp_path):
+    """Serving-artifact export: the CLI writes a StableHLO blob and its
+    --check pass reloads it and matches the live jitted function."""
+    from tpugan.cli.export_model import main
+
+    out = str(tmp_path / "g.stablehlo")
+    main(["--mtype", "1", *TINY, "--batch_size", "2", "--out", out, "--check"])
+    assert os.path.getsize(out) > 0
+
+    out_e = str(tmp_path / "e.stablehlo")
+    main(["--mtype", "1", *TINY, "--batch_size", "2", "--what", "encode",
+          "--out", out_e, "--check"])
+    assert os.path.getsize(out_e) > 0
+
+
 def test_edit_cli(tmp_path):
     from tpugan.cli.edit import main
 
