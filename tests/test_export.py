@@ -10,6 +10,7 @@ from tpugan.io.export import (
 )
 
 
+@pytest.mark.slow
 def test_export_synthesis_roundtrip(tmp_path):
     """A frozen StyleGANv1 synthesis closure exports and reloads with
     identical outputs (weights baked in as constants)."""
@@ -38,6 +39,7 @@ def test_export_synthesis_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(g(w)), ref)
 
 
+@pytest.mark.slow
 def test_export_encoder_roundtrip():
     """The encoder forward (tuple outputs) survives export."""
     from tpugan.models import Encoder
