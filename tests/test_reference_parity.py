@@ -1230,3 +1230,90 @@ def test_e_align_case2_trajectory_parity():
             ref_hist, ours_hist, tols):
         np.testing.assert_allclose(o_tsa, r_tsa, rtol=rt_a)
         np.testing.assert_allclose(o_lv, r_lv, rtol=rt_b)
+
+
+# ---------------------------------------------------------------------------
+# Grad-CAM++ / GuidedBackPropagation / mask2cam (metric/grad_cam.py)
+# ---------------------------------------------------------------------------
+
+
+def test_grad_cam_plus_plus_parity():
+    """Grad-CAM++ + guided backprop + mask2cam vs the reference's OWN
+    metric/grad_cam.py classes (cv2 is present in this image; torchvision
+    is stubbed — the module only references it in commented demo code).
+
+    Hook-fidelity notes this asserts:
+      * GuidedBackPropagation is registered on the SAME net before the
+        CAM++ call, like every reference script that uses them
+        (E_mis_align_cropping_s1.py:105-106, inferE.py:97-98,
+        embedding_v2_BigGAN.py:56-57) — so the executed CAM++ backward is
+        guided-clamped through every ReLU;
+      * the feature map and its gradient are the Conv2d module's PRE-ReLU
+        output (the hooks sit on features.28 itself, grad_cam.py:42-47);
+      * the mask resize is cv2 bilinear (half-pixel centers) and the
+        mask2cam heatmap is cv2's exact COLORMAP_JET LUT after uint8
+        truncation of 255*mask.
+    """
+    import metric.grad_cam as ref_gc
+
+    from tests.test_vgg_lpips_gradcam import (
+        _torch_state_for_converter, _torch_vgg16,
+    )
+    from tpugan.losses.gradcam import grad_cam, guided_backprop, mask2cam
+    from tpugan.losses.vgg import VGG16
+
+    torch.manual_seed(0)
+    net = _torch_vgg16(num_classes=10).eval()
+    params = jax.tree.map(jnp.asarray, convert.vgg16(_torch_state_for_converter(net)))
+
+    gcpp = ref_gc.GradCamPlusPlus(net, "features.28")
+    gbp = ref_gc.GuidedBackPropagation(net)  # ReLU hooks: now ALL backwards clamp
+
+    g = torch.Generator().manual_seed(7)
+    imgs = torch.randn(3, 3, 64, 64, generator=g) * 0.5
+    mask_ref = gcpp(imgs, None)  # [N,1,64,64]
+    imgs_ = imgs.detach().clone()
+    imgs_.requires_grad = True
+    gb_ref = gbp(imgs_)  # [N,3,64,64]
+
+    x = to_nhwc(imgs)
+    model = VGG16(num_classes=10)  # grad_cam clones guided=True internally
+    with torch.no_grad():
+        ref_logits = net(imgs).numpy()
+    logits, _ = model.apply({"params": params}, x)
+    # same per-sample classes => same majority class inside both CAMs
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(logits), axis=1), np.argmax(ref_logits, axis=1)
+    )
+
+    mask = grad_cam(model, {"params": params}, x, plus_plus=True)
+    np.testing.assert_allclose(
+        np.asarray(mask)[..., 0], mask_ref.numpy()[:, 0], atol=5e-4, rtol=0
+    )
+
+    # plain GradCAM (grad_cam.py:82-115) under the same hooks
+    gcam = ref_gc.GradCAM(net, "features.28")
+    mask_plain_ref = gcam(imgs, None)
+    mask_plain = grad_cam(model, {"params": params}, x, plus_plus=False)
+    np.testing.assert_allclose(
+        np.asarray(mask_plain)[..., 0], mask_plain_ref.numpy()[:, 0],
+        atol=5e-4, rtol=0,
+    )
+
+    gb = guided_backprop(VGG16(num_classes=10, guided=True), {"params": params}, x)
+    scale = np.abs(gb_ref.numpy()).max()
+    np.testing.assert_allclose(
+        to_nchw(gb), gb_ref.numpy(), rtol=2e-3, atol=2e-3 * scale
+    )
+
+    # mask2cam on the SAME mask (batch 1: the reference's order-dependent
+    # batch mutation quirk is vacuous) — heatmap must be LUT-exact
+    m1 = np.transpose(mask_ref.numpy().astype(np.float32), (0, 2, 3, 1))[:1]
+    heat_ref, cam_ref = ref_gc.mask2cam(mask_ref[:1], imgs[:1])
+    heat, cam = mask2cam(jnp.asarray(m1), x[:1])
+    np.testing.assert_allclose(
+        to_nchw(heat), heat_ref.numpy().astype(np.float32), atol=1e-6, rtol=0
+    )
+    np.testing.assert_allclose(
+        to_nchw(cam), cam_ref.numpy().astype(np.float32), atol=1e-5, rtol=0
+    )

@@ -172,9 +172,10 @@ def main(argv=None):
                 np.clip(np.asarray(vis["cam"]), 0, 1), nrow=args.batch_size,
             )
             # the reference's host-side normalisation of the gb dump
-            # (:282-284): grads -= max(global_min, 0); grads /= global_max
+            # (:282-284): ``grads -= np.max(np.min(grads), 0)`` — the 0 is
+            # numpy's AXIS arg on a scalar, i.e. subtract the true min
             gb = np.array(vis["gb"], dtype=np.float32)  # writable copy
-            gb -= max(float(gb.min()), 0.0)
+            gb -= float(gb.min())
             denom = float(gb.max())
             if denom != 0.0:
                 gb /= denom

@@ -82,19 +82,36 @@ class VGG16(nn.Module):
         return guided_relu(x) if self.guided else nn.relu(x)
 
     @nn.compact
-    def __call__(self, x: jax.Array):
+    def __call__(self, x: jax.Array, return_conv_out: bool = False):
         feats = []
         conv_idx = 0
+        conv_out = None
         for v in VGG16_CFG:
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
                 x = nn.Conv(v, (3, 3), padding=1, name=f"conv_{conv_idx}")(x)
+                if conv_idx == LAST_CONV_FEATURE:
+                    # pre-ReLU: what the torch forward hook on the Conv2d
+                    # module itself (features.28) captures — Grad-CAM's
+                    # feature map (metric/grad_cam.py:26-28)
+                    conv_out = x
                 x = self._relu(x)
                 feats.append(x)
                 conv_idx += 1
         logits = self.head(feats[LAST_CONV_FEATURE]) if self.include_classifier else None
+        if return_conv_out:
+            return logits, feats, conv_out
         return logits, feats
+
+    def head_from_conv(self, conv_out: jax.Array) -> jax.Array:
+        """Pre-ReLU last-conv output -> logits: the function Grad-CAM
+        differentiates. The torch backward hook sits on the Conv2d module
+        (features.28), so the captured gradient is taken BEFORE the
+        features.29 ReLU (metric/grad_cam.py:30-47) — the backward passes
+        through that ReLU (guided-clamped when GuidedBackPropagation has
+        hooked the same net, E_mis_align_cropping_s1.py:105-106)."""
+        return self.head(self._relu(conv_out))
 
     @nn.compact_name_scope
     def head(self, last_conv_feature: jax.Array) -> jax.Array:

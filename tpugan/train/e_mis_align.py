@@ -219,7 +219,8 @@ def make_mis_align_visuals(
 
     Returns ``visuals(params, sn, iteration, frozen, vgg_vars) -> dict`` of
     NHWC arrays; jit it once in the caller. The guided-backprop dump keeps
-    the reference's host-side normalisation (grads -= max(min, 0);
+    the reference's host-side normalisation (grads -= global min —
+    ``np.max(np.min(grads), 0)`` is axis-0 of a scalar, not a clamp;
     grads /= max) for the CLI to apply on the host.
     """
     from tpugan.nn.spectral import encode_accepts_sn
