@@ -1317,3 +1317,168 @@ def test_grad_cam_plus_plus_parity():
     np.testing.assert_allclose(
         to_nchw(cam), cam_ref.numpy().astype(np.float32), atol=1e-5, rtol=0
     )
+
+
+def test_e_mis_align_trajectory_parity():
+    """Mis-align (Grad-CAM) training vs the reference's FULL eager loop
+    (E_mis_align_cropping_s1.py:110-210): CAM++ masks on both images (GBP
+    hooks registered on the same net), mask2cam overlays, guided-backprop
+    gradient loss, four space_loss groups, and the two-step LREQAdam
+    iteration (loss_tsa is fully detached -> no-op on E; 0.01*loss_w is
+    the effective update). cv2 is present so the reference classes run
+    as-is; batch 1 keeps mask2cam's order-dependent batch mutation
+    vacuous. Two iterations, identical batches, recorded encoder noise.
+
+    The guided-backprop loss group is exercised (finite, logged) but its
+    VALUES are not compared here: GBP input-gradients pass through ~15
+    hard clamp thresholds, so at random weights their direction is
+    fp32-chaotic (cosine 0.92 vs 1.0 across frameworks while the
+    gradient tensors agree elementwise within tolerance —
+    test_grad_cam_plus_plus_parity asserts them value-wise)."""
+    import metric.grad_cam as ref_gc
+    import training_utils as ref_tu
+    from model.E.E import BE
+    from model.stylegan1.net import Generator
+    from model.utils.custom_adam import LREQAdam
+
+    from tests.test_vgg_lpips_gradcam import (
+        _torch_state_for_converter, _torch_vgg16,
+    )
+    from tpugan.models.encoders import Encoder
+    from tpugan.models.stylegan1 import StyleGANv1Generator
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.losses.vgg import VGG16
+    from tpugan.train.e_align import SynthBatch, init_train_state
+    from tpugan.train.e_mis_align import make_mis_align_step
+
+    startf, maxf, layer_count, latent = 8, 32, 5, 512
+    batch, res, iters = 1, 64, 2
+    torch.manual_seed(0)
+    ref_g = Generator(startf=startf, maxf=maxf, layer_count=layer_count,
+                      latent_size=latent, channels=3)
+    ref_e = BE(startf=startf, maxf=maxf, layer_count=layer_count,
+               latent_size=latent, channels=3)
+    seed_state(ref_g, 401, std=0.1)
+    seed_state(ref_e, 402, std=0.1)
+    with torch.no_grad():
+        for name, p in ref_g.named_parameters():
+            if "noise_weight" in name:
+                p.zero_()
+    ref_g.eval()
+    lod = layer_count - 1
+
+    vgg_net = _torch_vgg16(num_classes=10).eval()
+    vgg_params = jax.tree.map(
+        jnp.asarray, convert.vgg16(_torch_state_for_converter(vgg_net)))
+    gcpp = ref_gc.GradCamPlusPlus(vgg_net, "features.28")
+    gbp = ref_gc.GuidedBackPropagation(vgg_net)
+
+    gsrc = torch.Generator().manual_seed(403)
+    batches = [
+        (
+            torch.randn(batch, 3, res, res, generator=gsrc) * 0.5,
+            torch.randn(batch, 2 * layer_count, latent, generator=gsrc),
+        )
+        for _ in range(iters)
+    ]
+
+    dummy = torch.zeros(1, requires_grad=True)
+
+    def fake_lpips(a, b):
+        return ((a - b) ** 2).mean(dim=(1, 2, 3)) + dummy
+
+    g_state = {k: v.numpy().copy() for k, v in ref_g.state_dict().items()}
+    e_state = {k: v.numpy().copy() for k, v in ref_e.state_dict().items()}
+    opt_t = LREQAdam(ref_e.parameters(), lr=0.01, betas=(0.0, 0.99),
+                     weight_decay=0)
+
+    ref_hist, noise_per_iter = [], []
+    for it in range(iters):
+        imgs1, w1 = batches[it]
+        with RandnRecorder(seed=910 + it) as rec:
+            const2, w2 = ref_e(imgs1, block_num=9)
+        noise_per_iter.append(rec.block_noise([2] * (layer_count - 1) + [1]))
+        imgs2 = ref_g.forward(w2, lod)
+        # CAM stack (:159-170): masks/overlays/gb grads, all detached
+        mask_1 = gcpp(imgs1, None).float()
+        mask_2 = gcpp(imgs2, None).float()
+        imgs1_ = imgs1.detach().clone(); imgs1_.requires_grad = True
+        imgs2_ = imgs2.detach().clone(); imgs2_.requires_grad = True
+        grad_1 = gbp(imgs1_)
+        grad_2 = gbp(imgs2_)
+        _, cam_1 = ref_gc.mask2cam(mask_1, imgs1)
+        _, cam_2 = ref_gc.mask2cam(mask_2, imgs2)
+        loss_grad, lg_info = ref_tu.space_loss(
+            grad_1, grad_2, lpips_model=fake_lpips)
+        del loss_grad, lg_info  # logged-only; see docstring note below
+        loss_imgs, _ = ref_tu.space_loss(
+            imgs1.detach().clone(), imgs2.detach().clone(),
+            lpips_model=fake_lpips)
+        loss_mask, lm_info = ref_tu.space_loss(
+            mask_1.detach().clone(), mask_2.detach().clone(),
+            lpips_model=fake_lpips)
+        loss_gcam, lc_info = ref_tu.space_loss(
+            cam_1.float().detach().clone(), cam_2.float().detach().clone(),
+            lpips_model=fake_lpips)
+        loss_tsa = loss_imgs + loss_mask + loss_gcam  # :191
+        opt_t.zero_grad(); loss_tsa.backward(retain_graph=True); opt_t.step()
+        loss_w, _ = ref_tu.space_loss(w1, w2, image_space=False)
+        loss_mtv = loss_w * 0.01  # :203 (loss_c commented out)
+        opt_t.zero_grad(); loss_mtv.backward(); opt_t.step()
+        ref_hist.append((
+            loss_tsa.item(), loss_mtv.item(), lm_info[0][0], lc_info[0][0],
+        ))
+
+    # ---- ours ----
+    gen = StyleGANv1Generator(startf=startf, maxf=maxf,
+                              layer_count=layer_count, latent_size=latent)
+    enc = Encoder(startf=startf, maxf=maxf, layer_count=layer_count,
+                  latent_size=latent)
+    g_params = jax.tree.map(
+        jnp.asarray, convert.stylegan1_generator(g_state, layer_count))
+    e_params = jax.tree.map(jnp.asarray, convert.encoder(e_state, layer_count))
+    enc_vars = enc.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((batch, res, res, 3)))
+    coefs = lreq_coef_tree(e_params, enc_vars["lreq"])
+    opt = lreq_adam(0.01, coefs=coefs)
+    state = init_train_state(e_params, opt)
+    vgg = VGG16(num_classes=10)
+    vgg_guided = VGG16(num_classes=10, guided=True)
+
+    def jl(a, b):
+        return jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+
+    const1 = jnp.zeros((batch, 4, 4, maxf))
+    ours_hist = []
+    for it in range(iters):
+        imgs1, w1 = batches[it]
+        b = SynthBatch(w1=jnp.asarray(w1.numpy()), imgs1=to_nhwc(imgs1),
+                       const1=const1)
+        noise = noise_per_iter[it]
+
+        def encode(params, bb, key, _n=noise):
+            return enc.apply({"params": params}, bb.imgs1, noise=_n)
+
+        def synth(frozen, key, z, _b=b):
+            return _b
+
+        def resynth(frozen, w, bb, key):
+            return gen.apply({"params": frozen}, w, lod)
+
+        step = make_mis_align_step(
+            encode=encode, synth=synth, resynth=resynth, optimizer=opt,
+            vgg=vgg, z_dim=latent, batch_size=batch, lpips_fn=jl,
+            vgg_guided=vgg_guided,
+        )
+        state, info = step(state, jnp.int32(it), g_params, {"params": vgg_params})
+        ours_hist.append((
+            float(info.loss_tsa), float(info.loss_mtv),
+            float(info.loss_mask.mse), float(info.loss_gcam.mse),
+        ))
+        assert np.isfinite(float(info.loss_grad.mse))
+
+    tols = [2e-3, 2e-2]
+    for (r, o, rt) in zip(ref_hist, ours_hist, tols):
+        for rv, ov in zip(r, o):
+            np.testing.assert_allclose(ov, rv, rtol=rt, atol=1e-7)
