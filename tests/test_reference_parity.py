@@ -1482,3 +1482,179 @@ def test_e_mis_align_trajectory_parity():
     for (r, o, rt) in zip(ref_hist, ours_hist, tols):
         for rv, ov in zip(r, o):
             np.testing.assert_allclose(ov, rv, rtol=rt, atol=1e-7)
+
+
+def test_e_align_biggan_trajectory_parity():
+    """Case-1 E_align for mtype 4 (E_align_cropping_s1.py:140-219 with the
+    BigGAN branches): conditional E_BIG in TRAIN mode — torch's
+    spectral_norm advances every u/v by one power iteration on each
+    encoder forward and computes sigma from the UPDATED vectors, with
+    gradients flowing through sigma into weight_orig; our equivalent is
+    power_iterate threading the sn collection through EncoderTrainState
+    (one iteration per step = one E forward per iteration in case 1,
+    exactly torch's cadence). The image losses are detached (no-op first
+    step), so the trajectory is the 0.01*loss_w updates through the live
+    SN + conditional-BN encoder. Three iterations, identical batches,
+    recorded encoder noise; the frozen generator side is exercised via
+    the logged loss_tsa (eval G, folded SN)."""
+    from model.biggan_generator import BigGAN as RefBigGAN
+    from model.E.E_BIG import BE as BE_BIG
+    from model.utils.biggan_config import BigGANConfig as RefCfg
+    from model.utils.custom_adam import LREQAdam
+    import training_utils as ref_tu
+
+    from tpugan.models.biggan import BigGAN, BigGANConfig
+    from tpugan.models.encoders import BigGANEncoder
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.train.e_align import (
+        SynthBatch, init_train_state, make_train_step,
+    )
+
+    # cond_vector must be 256-dim (E_BIG hardcodes Linear(8192, 256) and
+    # the 256-dim conditional BN): z 128 + class embed 128 like the zoo
+    ref_cfg = RefCfg(
+        output_dim=16, z_dim=128, class_embed_dim=128, channel_width=4,
+        num_classes=10,
+        layers=[(False, 16, 16), (True, 16, 8), (True, 8, 4), (False, 4, 2),
+                (False, 2, 1)],
+        attention_layer_position=1, eps=1e-4, n_stats=51,
+    )
+    torch.manual_seed(0)
+    ref_g = RefBigGAN(ref_cfg)
+    seed_state(ref_g, 501, std=0.1)
+    ref_e = BE_BIG(startf=128, maxf=512, layer_count=3, latent_size=512,
+                   channels=3, biggan=True)
+    seed_state(ref_e, 502, std=0.05)
+    with torch.no_grad():
+        for mod in (ref_g, ref_e):
+            for name, b in mod.named_buffers():
+                if name.endswith("running_vars"):
+                    b.abs_().add_(0.5)
+    # converge the generator's u/v, then freeze in eval (sigma fixed —
+    # matches the conversion-time fold); materialise the encoder's
+    # weight_v buffers with one train forward, snapshot AFTER it so both
+    # sides start the trajectory from identical u/v
+    gsrc = torch.Generator().manual_seed(503)
+    z_warm = torch.randn(2, ref_cfg.z_dim, generator=gsrc)
+    lbl_warm = torch.zeros(2, ref_cfg.num_classes)
+    lbl_warm[:, 3] = 1.0
+    ref_g.train()
+    with torch.no_grad():
+        for _ in range(30):
+            ref_g(z_warm, lbl_warm, 0.4)
+    ref_g.eval()
+    ref_e.train()
+    with torch.no_grad(), RandnRecorder(seed=0):
+        ref_e(torch.randn(2, 3, 16, 16, generator=gsrc),
+              torch.randn(2, 256, generator=gsrc), block_num=9)
+
+    g_state = {k: v.numpy().copy() for k, v in ref_g.state_dict().items()}
+    e_state = {k: v.numpy().copy() for k, v in ref_e.state_dict().items()}
+
+    batch, iters = 2, 3
+    batches = []
+    with torch.no_grad():
+        for it in range(iters):
+            z1 = torch.randn(batch, ref_cfg.z_dim, generator=gsrc) * 0.4
+            label = torch.zeros(batch, ref_cfg.num_classes)
+            label[:, (it * 3) % 10] = 1.0
+            imgs1, cond1 = ref_g(z1, label, 0.4)
+            batches.append((z1, label, imgs1, cond1))
+
+    dummy = torch.zeros(1, requires_grad=True)
+
+    def fake_lpips(a, b):
+        return ((a - b) ** 2).mean(dim=(1, 2, 3)) + dummy
+
+    opt_t = LREQAdam(ref_e.parameters(), lr=0.01, betas=(0.0, 0.99),
+                     weight_decay=0)
+
+    def sl(a, b):  # case-1: detached image losses
+        return ref_tu.space_loss(
+            a.detach().clone(), b.detach().clone(), lpips_model=fake_lpips)[0]
+
+    ref_hist, noise_per_iter = [], []
+    for it in range(iters):
+        z1, label, imgs1, cond1 = batches[it]
+        with RandnRecorder(seed=920 + it) as rec:
+            const2, w2 = ref_e(imgs1, cond1, block_num=9)
+        noise_per_iter.append(rec.block_noise([2, 2, 1]))
+        imgs2, _ = ref_g(w2, label, 0.4)
+        loss_imgs = sl(imgs1, imgs2)
+        m1 = imgs1[:, :, :, imgs1.shape[3] // 8 : -(imgs1.shape[3] // 8)]
+        m2 = imgs2[:, :, :, imgs2.shape[3] // 8 : -(imgs2.shape[3] // 8)]
+        loss_med = sl(m1, m2)
+        d = imgs1.shape[2] // 8 + imgs1.shape[2] // 32
+        loss_small = sl(imgs1[:, :, d:-d, d:-d], imgs2[:, :, d:-d, d:-d])
+        loss_tsa = loss_imgs + loss_med + loss_small
+        opt_t.zero_grad(); loss_tsa.backward(retain_graph=True); opt_t.step()
+        loss_w, _ = ref_tu.space_loss(z1, w2, image_space=False)
+        loss_mtv = loss_w * 0.01
+        opt_t.zero_grad(); loss_mtv.backward(); opt_t.step()
+        ref_hist.append((loss_tsa.item(), loss_mtv.item()))
+
+    # ---- ours ----
+    cfg = BigGANConfig(
+        output_dim=ref_cfg.output_dim, z_dim=ref_cfg.z_dim,
+        class_embed_dim=ref_cfg.class_embed_dim,
+        channel_width=ref_cfg.channel_width, num_classes=ref_cfg.num_classes,
+        layers=[tuple(t) for t in ref_cfg.layers],
+        attention_layer_position=ref_cfg.attention_layer_position,
+        eps=ref_cfg.eps, n_stats=ref_cfg.n_stats,
+    )
+    gen = BigGAN(cfg)
+    g_vars = jax.tree.map(jnp.asarray, convert.biggan(g_state))
+    conv_e = convert.biggan_encoder(e_state, 3)
+    e_params = jax.tree.map(jnp.asarray, conv_e["params"])
+    sn0 = jax.tree.map(jnp.asarray, conv_e["sn"])
+    extra = {
+        k: jax.tree.map(jnp.asarray, v)
+        for k, v in conv_e.items() if k not in ("params", "sn")
+    }
+    enc = BigGANEncoder(startf=128, maxf=512, layer_count=3,
+                        cond_dim=256, z_dim=128)
+    enc_vars = enc.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+                        jnp.zeros((batch, 16, 16, 3)), jnp.zeros((batch, 256)))
+    coefs = lreq_coef_tree(e_params, enc_vars["lreq"])
+    opt = lreq_adam(0.01, coefs=coefs)
+    state = init_train_state(e_params, opt, sn=sn0)
+
+    def jl(a, b):
+        return jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+
+    ours_hist = []
+    for it in range(iters):
+        z1, label, imgs1, cond1 = batches[it]
+        b = SynthBatch(
+            w1=jnp.asarray(z1.numpy()), imgs1=to_nhwc(imgs1),
+            const1=jnp.asarray(cond1.numpy().copy()),
+            label=jnp.asarray(label.numpy()),
+        )
+        noise = noise_per_iter[it]
+
+        def encode(params, bb, key, sn, _n=noise):
+            return enc.apply(
+                {**extra, "params": params, "sn": sn},
+                bb.imgs1, bb.const1, noise=_n,
+            )
+
+        def synth(frozen, key, z, _b=b):
+            return _b
+
+        def resynth(frozen, w, bb, key):
+            imgs2, _ = gen.apply(frozen, w, bb.label, 0.4)
+            return imgs2
+
+        step = make_train_step(
+            encode=encode, synth=synth, resynth=resynth, optimizer=opt,
+            z_dim=cfg.z_dim, batch_size=batch, case=1, lpips_fn=jl,
+        )
+        state, info = step(state, jnp.int32(it), g_vars)
+        ours_hist.append((float(info.loss_tsa), float(info.loss_mtv)))
+
+    tols = [(5e-4, 2e-4), (8e-3, 5e-3), (1.5e-2, 1e-2)]
+    for (r_tsa, r_lv), (o_tsa, o_lv), (rt_a, rt_b) in zip(
+            ref_hist, ours_hist, tols):
+        np.testing.assert_allclose(o_tsa, r_tsa, rtol=rt_a)
+        np.testing.assert_allclose(o_lv, r_lv, rtol=rt_b)
