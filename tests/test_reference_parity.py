@@ -1658,3 +1658,130 @@ def test_e_align_biggan_trajectory_parity():
             ref_hist, ours_hist, tols):
         np.testing.assert_allclose(o_tsa, r_tsa, rtol=rt_a)
         np.testing.assert_allclose(o_lv, r_lv, rtol=rt_b)
+
+
+def test_e_align_sg2_case2_trajectory_parity():
+    """Case-2 E_align with the StyleGAN2 generator in the gradient path
+    (E_align_s2.py mtype 2: ``imgs2 = generator.synthesis(w2)['image']``,
+    loss weights 1/5/9 NOT detached, then 0.01*loss_w — two sequential
+    LREQAdam steps at iteration-initial params). This is the flagship
+    1024 configuration's semantics at toy scale: the image-loss gradient
+    backpropagates through the full SG2 synthesis (modulated conv +
+    demodulation, FIR upsampling, skip ToRGB accumulation), so the it1/it2
+    losses pin the SYNTHESIS BACKWARD against torch — forward-only golden
+    parity cannot see a wrong adjoint. Stored noise buffers
+    (randomize_noise=False, the script's synthesis_kwargs) make both
+    sides deterministic; encoder noise is recorded and replayed."""
+    from model.stylegan2_generator import StyleGAN2Generator as RefSG2
+    from model.E.E_Blur import BE
+    from model.utils.custom_adam import LREQAdam
+    import training_utils as ref_tu
+
+    from tpugan.models.encoders import Encoder
+    from tpugan.models.stylegan2 import StyleGAN2Generator
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.train.e_align import (
+        SynthBatch, init_train_state, make_train_step,
+    )
+
+    kw = dict(
+        resolution=16, z_space_dim=512, w_space_dim=512, mapping_layers=2,
+        mapping_fmaps=64, fmaps_base=256, fmaps_max=64,
+    )
+    startf, maxf, layer_count, latent = 8, 32, 3, 512
+    batch, res, iters = 2, 16, 3
+    torch.manual_seed(0)
+    ref_g = RefSG2(**kw)
+    seed_state(ref_g, 601, std=0.1)
+    ref_g.eval()
+    ref_e = BE(startf=startf, maxf=maxf, layer_count=layer_count,
+               latent_size=latent, channels=3)
+    seed_state(ref_e, 602, std=0.1)
+
+    gsrc = torch.Generator().manual_seed(603)
+    batches = [
+        (
+            torch.randn(batch, 3, res, res, generator=gsrc) * 0.5,
+            torch.randn(batch, 2 * layer_count, latent, generator=gsrc),
+        )
+        for _ in range(iters)
+    ]
+
+    dummy = torch.zeros(1, requires_grad=True)
+
+    def fake_lpips(a, b):
+        return ((a - b) ** 2).mean(dim=(1, 2, 3)) + dummy
+
+    g_state = {k: v.numpy().copy() for k, v in ref_g.state_dict().items()}
+    e_state = {k: v.numpy().copy() for k, v in ref_e.state_dict().items()}
+    opt_t = LREQAdam(ref_e.parameters(), lr=0.01, betas=(0.0, 0.99),
+                     weight_decay=0)
+
+    def sl(a, b):  # case 2: NOT detached
+        return ref_tu.space_loss(a, b, lpips_model=fake_lpips)[0]
+
+    ref_hist, noise_per_iter = [], []
+    for it in range(iters):
+        imgs1, w1 = batches[it]
+        with RandnRecorder(seed=930 + it) as rec:
+            const2, w2 = ref_e(imgs1, block_num=9)
+        noise_per_iter.append(rec.block_noise([2] * (layer_count - 1) + [1]))
+        imgs2 = ref_g.synthesis(w2)["image"]  # E_align_s2.py:159
+        loss_imgs = sl(imgs1, imgs2)
+        m1 = imgs1[:, :, :, imgs1.shape[3] // 8 : -(imgs1.shape[3] // 8)]
+        m2 = imgs2[:, :, :, imgs2.shape[3] // 8 : -(imgs2.shape[3] // 8)]
+        loss_med = sl(m1, m2)
+        d = imgs1.shape[2] // 8 + imgs1.shape[2] // 32
+        loss_small = sl(imgs1[:, :, d:-d, d:-d], imgs2[:, :, d:-d, d:-d])
+        loss_tsa = loss_imgs + loss_med * 5 + loss_small * 9  # :205
+        opt_t.zero_grad(); loss_tsa.backward(retain_graph=True); opt_t.step()
+        loss_w, _ = ref_tu.space_loss(w1, w2, image_space=False)
+        loss_mtv = loss_w * 0.01
+        opt_t.zero_grad(); loss_mtv.backward(); opt_t.step()
+        ref_hist.append((loss_tsa.item(), loss_mtv.item()))
+
+    # ---- ours ----
+    gen = StyleGAN2Generator(**kw)
+    enc = Encoder(startf=startf, maxf=maxf, layer_count=layer_count,
+                  latent_size=latent, use_blur=True)
+    g_vars = jax.tree.map(jnp.asarray, convert.stylegan2_generator(g_state))
+    e_params = jax.tree.map(jnp.asarray, convert.encoder(e_state, layer_count))
+    enc_vars = enc.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((batch, res, res, 3)))
+    coefs = lreq_coef_tree(e_params, enc_vars["lreq"])
+    opt = lreq_adam(0.01, coefs=coefs)
+    state = init_train_state(e_params, opt)
+
+    def jl(a, b):
+        return jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+
+    const1 = jnp.zeros((batch, 4, 4, maxf))
+    ours_hist = []
+    for it in range(iters):
+        imgs1, w1 = batches[it]
+        b = SynthBatch(w1=jnp.asarray(w1.numpy()), imgs1=to_nhwc(imgs1),
+                       const1=const1)
+        noise = noise_per_iter[it]
+
+        def encode(params, bb, key, _n=noise):
+            return enc.apply({"params": params}, bb.imgs1, noise=_n)
+
+        def synth(frozen, key, z, _b=b):
+            return _b
+
+        def resynth(frozen, w, bb, key):
+            return gen.apply(frozen, w, method=gen.synthesize)["image"]
+
+        step = make_train_step(
+            encode=encode, synth=synth, resynth=resynth, optimizer=opt,
+            z_dim=latent, batch_size=batch, case=2, lpips_fn=jl,
+        )
+        state, info = step(state, jnp.int32(it), g_vars)
+        ours_hist.append((float(info.loss_tsa), float(info.loss_mtv)))
+
+    tols = [(5e-4, 1e-4), (2e-2, 1.2e-2), (4e-2, 2.5e-2)]
+    for (r_tsa, r_lv), (o_tsa, o_lv), (rt_a, rt_b) in zip(
+            ref_hist, ours_hist, tols):
+        np.testing.assert_allclose(o_tsa, r_tsa, rtol=rt_a)
+        np.testing.assert_allclose(o_lv, r_lv, rtol=rt_b)
