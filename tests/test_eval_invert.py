@@ -80,7 +80,8 @@ def test_edit_latent_slice_semantics(rng):
     )
 
 
-def _tiny_inversion_setup(optimize_e, lpips_fn=None):
+def _tiny_inversion_setup(optimize_e, lpips_fn=None, mesh=None, spatial=False,
+                          batch=1, iterations=20, chunk=10):
     from tpugan.invert import EmbeddingConfig, make_embedder
     from tpugan.models import Encoder, StyleGANv1Generator
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -100,14 +101,15 @@ def _tiny_inversion_setup(optimize_e, lpips_fn=None):
     def resynth(frozen, w):
         return gen.apply(frozen, w, rngs={"noise": key})
 
-    cfg = EmbeddingConfig(iterations=20, chunk=10, lr=0.01, optimize_e=optimize_e)
+    cfg = EmbeddingConfig(iterations=iterations, chunk=chunk, lr=0.01,
+                          optimize_e=optimize_e)
     invert = make_embedder(
         encode, resynth, enc_vars["params"], coefs, cfg, frozen=gen_vars,
-        lpips_fn=lpips_fn,
+        lpips_fn=lpips_fn, mesh=mesh, spatial=spatial,
     )
 
     # target: a synthetic image from the generator itself
-    w_true = jax.random.normal(jax.random.PRNGKey(5), (1, 6, latent))
+    w_true = jax.random.normal(jax.random.PRNGKey(5), (batch, 6, latent))
     target = gen.apply(gen_vars, w_true, rngs={"noise": key})
     return invert, target
 
@@ -218,3 +220,37 @@ def test_ssim_separable_matches_direct_2d(rng):
         float(ssim_sep(a, b)), float(ssim_direct(a, b)), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_allclose(float(ssim_sep(a, a)), 1.0, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("optimize_e", [False, True])
+def test_inversion_sharded_matches_single(optimize_e):
+    """Mesh-sharded inversion (batch over ``data``, image height over
+    ``space`` — SURVEY.md §2.6's 1024² pixel-gradient sharding applied to
+    the inversion loop) computes the same trajectory as the unsharded
+    chunk: fine-tune-E replicates E and psums the batch gradient (exactly
+    the unsharded batch-mean up to fp32 reduction order), optimize-w shards
+    the per-image targets.  The fine-tune-E trajectory is chaotic under
+    reduction-order noise (LREQAdam's sign-like first steps), so the run is
+    kept short and the loss history — not final params at tight tolerance —
+    is the cross-check."""
+    from tpugan.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(jax.devices()[:8], space=2)
+
+    iters, chunk = (6, 3) if optimize_e else (20, 10)
+    invert_s, target = _tiny_inversion_setup(
+        optimize_e, mesh=mesh, spatial=True, batch=4, iterations=iters,
+        chunk=chunk,
+    )
+    invert_1, _ = _tiny_inversion_setup(optimize_e, batch=4,
+                                        iterations=iters, chunk=chunk)
+    r_s = invert_s(target)
+    r_1 = invert_1(target)
+    w_tol = dict(rtol=5e-3, atol=5e-4) if optimize_e else dict(rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_s.w), np.asarray(r_1.w), **w_tol)
+    np.testing.assert_allclose(
+        np.asarray(r_s.losses), np.asarray(r_1.losses), rtol=2e-3, atol=1e-5
+    )

@@ -48,6 +48,22 @@ def main(argv=None):
     from tpugan.ops.eq_lr import lreq_coef_tree
 
     bundle = build_bundle(args)
+
+    from tpugan.parallel import make_mesh
+
+    mesh = make_mesh(space=args.space_shards) if len(jax.devices()) > 1 else None
+    if mesh is not None:
+        # replicate the frozen generator / encoder weights over the mesh
+        # BEFORE anything closes over them, so every jit input (incl. the
+        # derived cond_vector) is consistently mesh-placed
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        placement = NamedSharding(mesh, P())
+        bundle = bundle._replace(
+            frozen=jax.device_put(bundle.frozen, placement),
+            enc_vars=jax.device_put(bundle.enc_vars, placement),
+        )
+
     enc_extra = {k: v for k, v in bundle.enc_vars.items() if k != "params"}
     coefs = lreq_coef_tree(bundle.enc_vars["params"], bundle.enc_vars.get("lreq", {}))
 
@@ -115,6 +131,10 @@ def main(argv=None):
         from tpugan.cli.common import build_vgg16_vars
 
         vgg, vgg_vars = build_vgg16_vars(args, args.img_size)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            vgg_vars = jax.device_put(vgg_vars, NamedSharding(mesh, P()))
 
     cfg = EmbeddingConfig(
         iterations=args.iterations,
@@ -131,6 +151,7 @@ def main(argv=None):
         lpips_fn=build_lpips_fn(args),
         vgg=vgg, vgg_vars=vgg_vars, frozen=frozen_w,
         sn0=bundle.enc_vars.get("sn"),
+        mesh=mesh, spatial=args.space_shards > 1,
     )
 
     images = load_image_dir(args.img_dir, args.img_size)

@@ -67,6 +67,8 @@ def make_embedder(
     vgg_vars=None,
     frozen: Any = None,
     sn0: Any = None,
+    mesh=None,
+    spatial: bool = False,
 ):
     """Build ``invert(imgs) -> InversionResult`` for one image batch.
 
@@ -79,11 +81,42 @@ def make_embedder(
     chunk as an *argument* (device buffers), never closure-captured: baked
     weight constants inflate the compiled program upload past remote-compile
     payload limits for the 1024² models.
+
+    With ``mesh``, the image batch is pinned to the ``data`` axis and
+    (``spatial=True``) the image height to the ``space`` axis — the
+    1024² pixel-gradient sharding of SURVEY.md §2.6 applied to the
+    inversion loop. In fine-tune-E mode the shared E is replicated and
+    XLA inserts the gradient psum over the sharded batch (the reference's
+    "run multiple command lines" scaled out, embedding_img.py:3); in
+    optimize-w mode the per-image w targets shard with the batch and the
+    optimization stays fully independent per device.
     """
 
     from tpugan.nn.spectral import encode_accepts_sn
 
     accepts_sn = encode_accepts_sn(encode)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpugan.parallel.mesh import DATA_AXIS, SPACE_AXIS
+
+        _img_sh = NamedSharding(
+            mesh, P(DATA_AXIS, SPACE_AXIS) if spatial else P(DATA_AXIS)
+        )
+        _vec_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+        def constrain_imgs(x):
+            return jax.lax.with_sharding_constraint(x, _img_sh)
+
+        def constrain_vec(x):
+            return jax.lax.with_sharding_constraint(x, _vec_sh)
+    else:
+        def constrain_imgs(x):
+            return x
+
+        def constrain_vec(x):
+            return x
 
     def apply_encode(params, imgs, sn):
         if accepts_sn:
@@ -186,6 +219,13 @@ def make_embedder(
     @jax.jit
     def run_chunk(target, opt_state, sn, imgs1, const2_fixed, base_params, frozen_w, vgg_w, cache):
         from tpugan.nn.spectral import power_iterate
+
+        imgs1 = constrain_imgs(imgs1)
+        const2_fixed = constrain_vec(const2_fixed)
+        if not cfg.optimize_e:
+            # per-image w targets shard with the batch; in fine-tune-E mode
+            # the target is the (replicated) parameter tree instead
+            target = constrain_vec(target)
 
         def one_iteration(carry, _):
             target, opt_state, sn = carry
