@@ -18,9 +18,15 @@ from typing import Optional
 import numpy as np
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
-_LIB_PATH = _NATIVE_DIR / "libtpugan_io.so"
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
+
+
+def _lib_path() -> pathlib.Path:
+    # TPUGAN_NATIVE_LIB lets an installed (wheel) tpugan point at a
+    # prebuilt library; the default is the source checkout's native/ dir.
+    env = os.environ.get("TPUGAN_NATIVE_LIB")
+    return pathlib.Path(env) if env else _NATIVE_DIR / "libtpugan_io.so"
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
@@ -28,11 +34,12 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
+        path = _lib_path()
+        if not path.exists() and path.parent == _NATIVE_DIR:
             subprocess.run(
                 ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
             )
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib = ctypes.CDLL(str(path))
         lib.tg_decode_png.argtypes = [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_float),
