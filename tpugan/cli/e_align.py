@@ -47,7 +47,7 @@ def main(argv=None):
     from tpugan.io.image import save_image_grid, to_unit
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
-    from tpugan.parallel import make_mesh
+    from tpugan.parallel import auto_mesh
     from tpugan.runtime import to_accelerator
     from tpugan.train import make_encode_fn, make_train_step
     from tpugan.train.e_align import init_train_state
@@ -96,7 +96,9 @@ def main(argv=None):
 
     lpips_fn = build_lpips_fn(args)
 
-    mesh = make_mesh(space=args.space_shards) if len(jax.devices()) > 1 else None
+    # data axis = largest divisor of the batch that fits the devices —
+    # the reference default batch 2 would not divide a 8-chip host
+    mesh = auto_mesh(args.batch_size, space=args.space_shards)
     encode_used = encode_fn or make_encode_fn(bundle.encoder, enc_extra)
     from tpugan.nn.spectral import encode_accepts_sn as _accepts_sn
 

@@ -67,9 +67,13 @@ def main(argv=None):
 
     vgg_guided = VGG16(guided=True)
 
-    from tpugan.parallel import make_mesh
+    from tpugan.parallel import auto_mesh
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # reference batch is 5 (E_mis_align_cropping_s1.py:308) — auto_mesh
+    # sizes the data axis to a divisor (5 on >=5-device hosts) instead
+    # of crashing on 2/4/8-device data axes; --space_shards is honored
+    # like the other training CLIs
+    mesh = auto_mesh(args.batch_size, space=args.space_shards)
     encode_used = make_encode_fn(bundle.encoder, enc_extra)
     synth_used, resynth_used = bundle.synth, bundle.resynth
     if args.bf16:
@@ -89,6 +93,7 @@ def main(argv=None):
         lpips_fn=lpips_fn,
         vgg_guided=vgg_guided,
         mesh=mesh,
+        spatial=args.space_shards > 1,
         cam_bf16=args.bf16,
     )
     jitted = jax.jit(step)
@@ -99,7 +104,8 @@ def main(argv=None):
             encode=encode_used, synth=synth_used, resynth=resynth_used,
             optimizer=opt, vgg=vgg, z_dim=bundle.z_dim,
             batch_size=args.batch_size, lpips_fn=None,
-            vgg_guided=vgg_guided, mesh=mesh, cam_bf16=args.bf16,
+            vgg_guided=vgg_guided, mesh=mesh,
+            spatial=args.space_shards > 1, cam_bf16=args.bf16,
             compute_attention_losses=False,
         )
         jitted_lean = jax.jit(lean)

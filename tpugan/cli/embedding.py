@@ -49,9 +49,12 @@ def main(argv=None):
 
     bundle = build_bundle(args)
 
-    from tpugan.parallel import make_mesh
+    from tpugan.parallel import auto_mesh
 
-    mesh = make_mesh(space=args.space_shards) if len(jax.devices()) > 1 else None
+    # batch defaults to 1 (embedding_img.py:177) — auto_mesh sizes the
+    # data axis to a divisor of the batch so the sharding constraints
+    # hold at the reference configs; space shards still apply at batch 1
+    mesh = auto_mesh(args.batch_size, space=args.space_shards)
     if mesh is not None:
         # replicate the frozen generator / encoder weights over the mesh
         # BEFORE anything closes over them, so every jit input (incl. the

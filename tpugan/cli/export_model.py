@@ -61,8 +61,10 @@ def main(argv=None):
             def fn(w, label):
                 return resynth(frozen, w, SimpleNamespace(label=label), jax.random.PRNGKey(0))
 
+            # bundle.z_dim, not args.z_dim: a --config_dir JSON (or the
+            # BigGAN default 128) overrides the flag's 512 default
             example = (
-                jnp.zeros((args.batch_size, args.z_dim)),
+                jnp.zeros((args.batch_size, bundle.z_dim)),
                 one_hot(jnp.zeros((args.batch_size,), jnp.int32), num_classes),
             )
         else:
@@ -71,10 +73,10 @@ def main(argv=None):
                 return resynth(frozen, w, None, jax.random.PRNGKey(0))
 
             if args.mtype == 3:  # PGGAN resynthesizes from flat z
-                example = (jnp.zeros((args.batch_size, args.z_dim)),)
+                example = (jnp.zeros((args.batch_size, bundle.z_dim)),)
             else:
                 example = (
-                    jnp.zeros((args.batch_size, bundle.num_style_layers, args.z_dim)),
+                    jnp.zeros((args.batch_size, bundle.num_style_layers, bundle.z_dim)),
                 )
     else:
         enc_extra = {k: v for k, v in bundle.enc_vars.items() if k != "params"}
@@ -89,7 +91,8 @@ def main(argv=None):
                 return encode(bundle.enc_vars["params"], batch, jax.random.PRNGKey(0), sn)
             return encode(bundle.enc_vars["params"], batch, jax.random.PRNGKey(0))
 
-        cond_dim = 256 if args.mtype == 4 else 1
+        # E_BIG's conditional-BN input is 2*z_dim (cond_vector; E_BIG.py:207)
+        cond_dim = 2 * bundle.z_dim if args.mtype == 4 else 1
         example = (
             jnp.zeros((args.batch_size, args.img_size, args.img_size, 3)),
             jnp.zeros((args.batch_size, cond_dim)),

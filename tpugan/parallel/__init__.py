@@ -1,4 +1,5 @@
 from tpugan.parallel.mesh import (
+    auto_mesh,
     make_mesh,
     shard_batch,
     replicate,
@@ -6,4 +7,11 @@ from tpugan.parallel.mesh import (
     SPACE_AXIS,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "DATA_AXIS", "SPACE_AXIS"]
+__all__ = [
+    "auto_mesh",
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "DATA_AXIS",
+    "SPACE_AXIS",
+]

@@ -114,7 +114,7 @@ def bf16_encode_images(encode):
     return wrapped
 
 
-def bf16_lpips(lpips_fn, params_already_cast: bool = False):
+def bf16_lpips(lpips_fn):
     """Wrap an LPIPS closure so the VGG backbone computes in bf16.
 
     With the perceptual term in the measured step (six VGG16 passes per
