@@ -13,9 +13,11 @@ every iteration (training_utils.py:92-95, E_align_cropping_s1.py:98), six
 VGG16 passes per step; random-weight heads cost exactly what trained ones
 cost, so the measured workload matches the reference's.
 
-Prints ONE JSON line. The primary metric stays
-``e_align_train_images_per_sec_256`` for cross-round comparability; the
-additional metrics ride in the ``extra`` list. Every metric carries:
+Prints ONE JSON line. The primary metric keeps the name
+``e_align_train_images_per_sec_256``, but note the WORKLOAD changed in
+round 3: rounds 1-2 measured it without LPIPS in the step, so the number
+is NOT comparable to BENCH_r01/r02 (the ``workload`` field marks the
+change). The additional metrics ride in the ``extra`` list. Every metric carries:
   * ``mfu``: model FLOPs utilization = XLA-counted FLOPs/step (from
     ``compiled.cost_analysis()``) / step time / chip bf16 MXU peak (the
     honest headroom number even for fp32 math).

@@ -9,7 +9,6 @@ Usage: python scripts/prof_biggan_bf16_fwd.py [--img_size 512]
 import argparse
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -21,17 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
-    return best
+from tpugan.profiling import timeit_ms as timeit  # shared best-of-3 methodology
 
 
 def main():

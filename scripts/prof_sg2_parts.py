@@ -8,7 +8,6 @@ Usage: python scripts/prof_sg2_parts.py [--res 1024] [--batch 2] [--bf16]
 import argparse
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -20,14 +19,7 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+from tpugan.profiling import timeit_ms as timeit  # shared best-of-3 methodology
 
 
 def main():

@@ -326,3 +326,11 @@ def test_lean_step_bitwise_mis_align():
     np.testing.assert_array_equal(
         np.asarray(i_b.loss_mtv), np.asarray(i_a.loss_mtv)
     )
+
+
+def test_remat_flags_mutually_exclusive():
+    """--remat (full) must not silently shadow --remat_policy: the step
+    builder rejects the conflicting combination instead of ignoring the
+    selective policy."""
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _tiny_setup(2, remat=True, remat_policy="conv_outs")

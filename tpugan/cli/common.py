@@ -324,10 +324,16 @@ def build_lpips_fn(args):
 
         state = convert.load_torch_state_dict(cached_path(args.lpips_weights))
         params = {"params": jax.tree.map(jnp.asarray, convert.lpips_vgg(state))}
-        if getattr(args, "bf16", False):
+        if getattr(args, "bf16", False) and not getattr(args, "fp32_lpips", False):
             # match the benched bf16 configuration (bench.py): bf16 VGG
             # backbone weights + input casts, fp32 distances out — the
-            # LPIPS activation stream is a first-class byte consumer
+            # LPIPS activation stream is a first-class byte consumer.
+            # In the training CLIs the perceptual terms are detached /
+            # log-only, so this never touches the update trajectory; in
+            # the INVERSION CLI the LPIPS term sits in the gradient path
+            # (embedding_img.py:92-112), so cli/embedding.py exposes
+            # --fp32_lpips to keep the optimization trajectory fp32
+            # while still running the frozen G in bf16
             from tpugan.precision import bf16_lpips, cast_floating
 
             return bf16_lpips(make_lpips_fn(cast_floating(params, jnp.bfloat16)))

@@ -165,18 +165,12 @@ def main(argv=None):
     for iteration in range(args.iterations):
         on_tick = iteration % args.log_every == 0
         step_fn = jitted if (on_tick or jitted_lean is None) else jitted_lean
-        state, info = step_fn(state, jnp.int32(iteration), frozen)
+        grid = None
         if on_tick:
-            from tpugan.train.e_align import info_scalars
-
-            # the full ~35-scalar set the reference logs per iteration
-            # (E_align_cropping_s1.py:233-279), one host sync per log
-            rec = {"iteration": iteration, "epoch": iteration // 30000}
-            rec.update(info_scalars(info))
-            print(json.dumps(rec), flush=True)
-            loss_log.write(json.dumps(rec) + "\n")
-            loss_log.flush()
-            # reconstruction grid like the reference (:282-285)
+            # reconstruction grid like the reference (:282-285): the torch
+            # script saves the imgs1/imgs2 computed DURING the iteration,
+            # i.e. at pre-update params — compute it before the donated
+            # step invalidates state's buffers
             from tpugan.utils import iteration_key
 
             key = iteration_key(iteration)
@@ -190,7 +184,22 @@ def main(argv=None):
             imgs2 = resynth_fn(frozen, w2, batch, kg2)
             import numpy as np
 
-            grid = np.concatenate([to_unit(batch.imgs1), to_unit(imgs2)], axis=0)
+            grid = np.concatenate(
+                [np.asarray(to_unit(batch.imgs1)), np.asarray(to_unit(imgs2))], axis=0
+            )
+        state, info = step_fn(state, jnp.int32(iteration), frozen)
+        if on_tick:
+            from tpugan.train.e_align import info_scalars
+
+            # the full ~35-scalar set the reference logs per iteration
+            # (E_align_cropping_s1.py:233-279), one host sync per log
+            rec = {"iteration": iteration, "epoch": iteration // 30000}
+            rec.update(info_scalars(info))
+            print(json.dumps(rec), flush=True)
+            loss_log.write(json.dumps(rec) + "\n")
+            loss_log.flush()
+            import numpy as np
+
             save_image_grid(
                 os.path.join(imgs_dir, f"ep{iteration // 30000}_iter{iteration % 30000}.jpg"),
                 np.clip(grid, 0, 1),

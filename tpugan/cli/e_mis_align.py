@@ -96,7 +96,10 @@ def main(argv=None):
         spatial=args.space_shards > 1,
         cam_bf16=args.bf16,
     )
-    jitted = jax.jit(step)
+    # donate the train state: params + optimizer state are updated in
+    # place each step (the visual dumps below read state BEFORE the step,
+    # so donation is safe; same pattern as cli/e_align.py)
+    jitted = jax.jit(step, donate_argnums=(0,))
     jitted_lean = None
     if not args.eager_metrics:
         # the lean step never evaluates image losses, so no lpips_fn
@@ -108,7 +111,7 @@ def main(argv=None):
             spatial=args.space_shards > 1, cam_bf16=args.bf16,
             compute_attention_losses=False,
         )
-        jitted_lean = jax.jit(lean)
+        jitted_lean = jax.jit(lean, donate_argnums=(0,))
     from tpugan.train.e_mis_align import make_mis_align_visuals
 
     visuals = jax.jit(
@@ -141,6 +144,15 @@ def main(argv=None):
     for iteration in range(args.iterations):
         on_tick = iteration % args.log_every == 0
         step_fn = jitted if (on_tick or jitted_lean is None) else jitted_lean
+        vis = None
+        if on_tick:
+            # visual dumps use the PRE-update params, like the reference's
+            # in-iteration dumps (E_mis_align_cropping_s1.py:276-288 saves
+            # the tensors computed during the iteration, before .step()).
+            # Must run before the donated step invalidates state's buffers.
+            vis = jax.device_get(
+                visuals(state.params, state.sn, jnp.int32(iteration), frozen, vgg_vars)
+            )
         state, info = step_fn(state, jnp.int32(iteration), frozen, vgg_vars)
         if on_tick:
             from tpugan.train.e_align import info_scalars
@@ -153,14 +165,12 @@ def main(argv=None):
             loss_log.write(json.dumps(rec) + "\n")
             loss_log.flush()
             # reconstruction grid + heatmap/CAM/guided-backprop dumps
-            # (E_mis_align_cropping_s1.py:276-288)
+            # (E_mis_align_cropping_s1.py:276-288); vis was computed above
+            # at the iteration's initial params
             import numpy as np
 
             from tpugan.io.image import save_image_grid, to_unit
 
-            vis = jax.device_get(
-                visuals(state.params, state.sn, jnp.int32(iteration), frozen, vgg_vars)
-            )
             grid = np.concatenate([to_unit(vis["imgs1"]), to_unit(vis["imgs2"])], axis=0)
             ep, it = iteration // 30000, iteration % 30000
             save_image_grid(

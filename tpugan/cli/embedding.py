@@ -35,7 +35,16 @@ def main(argv=None):
                              "(embedding_v2_BigGAN.py:36, 30 = frog)")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 frozen-generator compute (+17%% iters/sec at 1024, "
-                             "parity-gated: tests/test_bf16.py)")
+                             "parity-gated: tests/test_bf16.py). NOTE: unlike the "
+                             "training CLIs, LPIPS is in the inversion GRADIENT "
+                             "path, so --bf16 also changes the optimization "
+                             "trajectory slightly; add --fp32_lpips to keep the "
+                             "perceptual term fp32")
+    parser.add_argument("--fp32_lpips", action="store_true",
+                        help="with --bf16: keep the LPIPS backbone fp32 so the "
+                             "w/E optimization trajectory matches the fp32 "
+                             "perceptual gradients (measured cost ~0 at 1024: "
+                             "82.0 vs 82.7 ms/iter, BASELINE.md)")
     parser.set_defaults(iterations=1500, lr=0.01, batch_size=1)
     args = parser.parse_args(argv)
 

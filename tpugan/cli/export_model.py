@@ -85,18 +85,31 @@ def main(argv=None):
 
         sn = bundle.enc_vars.get("sn")
 
-        def fn(imgs, const1):
-            batch = SimpleNamespace(imgs1=imgs, const1=const1)
-            if sn is not None:
-                return encode(bundle.enc_vars["params"], batch, jax.random.PRNGKey(0), sn)
-            return encode(bundle.enc_vars["params"], batch, jax.random.PRNGKey(0))
+        if args.mtype == 4:
+            # E_BIG's conditional-BN input is 2*z_dim (cond_vector;
+            # E_BIG.py:207) — part of the serving signature
+            def fn(imgs, const1):
+                batch = SimpleNamespace(imgs1=imgs, const1=const1)
+                if sn is not None:
+                    return encode(bundle.enc_vars["params"], batch, jax.random.PRNGKey(0), sn)
+                return encode(bundle.enc_vars["params"], batch, jax.random.PRNGKey(0))
 
-        # E_BIG's conditional-BN input is 2*z_dim (cond_vector; E_BIG.py:207)
-        cond_dim = 2 * bundle.z_dim if args.mtype == 4 else 1
-        example = (
-            jnp.zeros((args.batch_size, args.img_size, args.img_size, 3)),
-            jnp.zeros((args.batch_size, cond_dim)),
-        )
+            example = (
+                jnp.zeros((args.batch_size, args.img_size, args.img_size, 3)),
+                jnp.zeros((args.batch_size, 2 * bundle.z_dim)),
+            )
+        else:
+            # non-conditional encoders (mtype 1/2/3) never read const1 —
+            # the artifact signature takes images only
+            def fn(imgs):
+                batch = SimpleNamespace(imgs1=imgs, const1=None)
+                if sn is not None:
+                    return encode(bundle.enc_vars["params"], batch, jax.random.PRNGKey(0), sn)
+                return encode(bundle.enc_vars["params"], batch, jax.random.PRNGKey(0))
+
+            example = (
+                jnp.zeros((args.batch_size, args.img_size, args.img_size, 3)),
+            )
 
     save_exported(args.out, fn, *example, platforms=args.platforms)
     print(f"exported {args.what} -> {args.out}")

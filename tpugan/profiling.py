@@ -39,6 +39,27 @@ class StepTimer:
         return 0.0 if not self.avg else 1.0 / self.avg
 
 
+def timeit_ms(fn, *args, iters: int = 10, windows: int = 3) -> float:
+    """Best-of-``windows`` mean step latency of a jitted callable, in ms.
+
+    One warm-up call (compile), then ``windows`` timed windows of
+    ``iters`` calls each with a ``block_until_ready`` fence — the
+    measurement methodology shared by bench.py and the scripts/prof_*
+    component profilers (best-of-N absorbs shared-TPU noise)."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/tpugan_trace"):
     """Capture a jax.profiler trace (view with tensorboard/xprof)."""

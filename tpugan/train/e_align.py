@@ -225,6 +225,11 @@ def make_train_step(
             "losses; with gradients flowing through them (case 2 / ablation "
             ">=6) the lean step would change the trajectory"
         )
+    if remat and remat_policy is not None:
+        raise ValueError(
+            "remat (full rematerialisation) and remat_policy are mutually "
+            "exclusive — pass one or the other"
+        )
     if remat:
         # rematerialise encoder/generator activations in the backward pass
         # (the 1024^2 pixel-gradient memory knob, SURVEY.md §5)
