@@ -13,11 +13,17 @@ every iteration (training_utils.py:92-95, E_align_cropping_s1.py:98), six
 VGG16 passes per step; random-weight heads cost exactly what trained ones
 cost, so the measured workload matches the reference's.
 
-Prints ONE JSON line. The primary metric keeps the name
-``e_align_train_images_per_sec_256``, but note the WORKLOAD changed in
-round 3: rounds 1-2 measured it without LPIPS in the step, so the number
-is NOT comparable to BENCH_r01/r02 (the ``workload`` field marks the
-change). The additional metrics ride in the ``extra`` list. Every metric carries:
+Emits the result line INCREMENTALLY: the primary metric is printed
+(flushed) right after the first measurement, and after every extra a
+fresh complete superset JSON line follows — parse the LAST line. A
+driver timeout at any point leaves a valid artifact, and
+``TPUGAN_BENCH_BUDGET_S`` (default 1200) bounds total wall clock by
+skipping extras that no longer fit (marked ``"skipped"``). The primary
+metric keeps the name ``e_align_train_images_per_sec_256``, but note the
+WORKLOAD changed in round 3: rounds 1-2 measured it without LPIPS in the
+step, so the number is NOT comparable to BENCH_r01/r02 (the ``workload``
+field marks the change). The additional metrics ride in the ``extra``
+list. Every metric carries:
   * ``mfu``: model FLOPs utilization = XLA-counted FLOPs/step (from
     ``compiled.cost_analysis()``) / step time / chip bf16 MXU peak (the
     honest headroom number even for fp32 math).
@@ -28,7 +34,8 @@ change). The additional metrics ride in the ``extra`` list. Every metric carries
 (The round-1/2 ``vs_baseline`` host-CPU denominator was dropped: the
 reference publishes no numbers, so the meaningful fields are mfu/hbm_frac.)
 
-Env: TPUGAN_BENCH_FAST=1 skips the batch-32 and SG2-1024 extras.
+Env: TPUGAN_BENCH_FAST=1 emits the primary metric only (no extras);
+TPUGAN_BENCH_BUDGET_S=<seconds> sets the wall-clock budget for extras.
 """
 
 import json
@@ -274,7 +281,20 @@ def metric_entry(name, batch, dt, flops, peak, nbytes=None, bw=None,
 
 
 def main():
+    # Incremental emission (round-4 fix for BENCH_r03 rc=124/parsed=null):
+    # the primary-metric JSON line is printed and flushed IMMEDIATELY
+    # after the first measurement; after every extra a fresh, complete,
+    # superset line replaces it. A driver timeout at ANY point leaves a
+    # valid last-line artifact. TPUGAN_BENCH_BUDGET_S (default 1200 s)
+    # bounds wall clock: extras that would not fit the remaining budget
+    # are recorded with a "skipped" marker instead of being attempted.
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("TPUGAN_BENCH_BUDGET_S", "1200"))
     fast = os.environ.get("TPUGAN_BENCH_FAST", "0") == "1"
+
+    def remaining():
+        return budget - (time.perf_counter() - t_start)
+
     peak = chip_peak_flops()
     bw = chip_hbm_bw()
     lpips_fn = bench_lpips_fn()
@@ -289,102 +309,109 @@ def main():
         result["peak_flops_bf16"] = peak
         result["hbm_bytes_per_sec"] = bw
         result["device_kind"] = jax.devices()[0].device_kind
-
     extras = []
-    if not fast:
-        # best-throughput batch for the same config (BASELINE.md scaling)
-        try:
-            step32, state32, frozen32 = build_sg1_step(32, lpips_fn=lpips_fn)
-            dt32, flops32, nb32 = time_step(step32, state32, frozen32, iters=10, want_flops=True)
-            extras.append(
-                metric_entry("e_align_train_images_per_sec_256_b32", 32, dt32, flops32, peak, nb32, bw)
-            )
-        except Exception as e:  # never lose the primary line
-            extras.append({"metric": "e_align_b32", "error": str(e)[:200]})
-        # bf16 variant of the best-throughput batch (40% MFU full /
-        # 45% MFU lean, BASELINE.md lean-step table)
-        try:
-            s32b, st32b, fr32b = build_sg1_step(
-                32, bf16=True, lpips_fn=bench_lpips_fn(bf16=True)
-            )
-            d32b, f32b, n32b = time_step(s32b, st32b, fr32b, iters=10, want_flops=True)
-            extras.append(
-                metric_entry(
-                    "e_align_train_images_per_sec_256_b32_bf16", 32, d32b, f32b, peak, n32b, bw
-                )
-            )
-        except Exception as e:
-            extras.append({"metric": "e_align_b32_bf16", "error": str(e)[:200]})
-        # bf16 variant of the primary config (parity-gated)
-        try:
-            stepb, stateb, frozenb = build_sg1_step(
-                BATCH, bf16=True, lpips_fn=bench_lpips_fn(bf16=True)
-            )
-            dtb, flopsb, nbb = time_step(stepb, stateb, frozenb, iters=30, want_flops=True)
-            eb = metric_entry("e_align_train_images_per_sec_256_bf16", BATCH, dtb, flopsb, peak, nbb, bw)
-            eb["dtype"] = "bfloat16 compute, fp32 master/norms"
-            extras.append(eb)
-        except Exception as e:
-            extras.append({"metric": "e_align_256_bf16", "error": str(e)[:200]})
-        # lean off-tick step (the CLI's default between log ticks): the
-        # detached/log-only image branch is skipped — update BITWISE the
-        # full step's (tests/test_train.py::test_lean_step_bitwise).
-        # Sustained CLI throughput at log_every=100 is 99/100 of this plus
-        # 1/100 of the full step; the headline metric above stays the
-        # full reference-parity workload.
-        try:
-            stepl, statel, frozenl = build_sg1_step(
-                BATCH, bf16=True, lpips_fn=bench_lpips_fn(bf16=True), lean=True
-            )
-            dtl, flopsl, nbl = time_step(stepl, statel, frozenl, iters=30, want_flops=True)
-            el = metric_entry(
-                "e_align_train_images_per_sec_256_bf16_lean", BATCH, dtl, flopsl, peak, nbl, bw
-            )
-            el["workload"] = "off-tick lean step (log-only image branch skipped)"
-            extras.append(el)
-        except Exception as e:
-            extras.append({"metric": "e_align_256_bf16_lean", "error": str(e)[:200]})
-        # flagship heavy config: SG2-1024 case-2 E_Blur (fp32 and bf16)
-        try:
-            step2, state2, frozen2 = build_sg2_step(batch=2, res=1024, lpips_fn=lpips_fn)
-            dt2, flops2, nb2 = time_step(step2, state2, frozen2, iters=8, want_flops=True)
-            extras.append(
-                metric_entry("e_blur_case2_train_images_per_sec_1024", 2, dt2, flops2, peak, nb2, bw)
-            )
-        except Exception as e:
-            extras.append({"metric": "sg2_1024_case2", "error": str(e)[:200]})
-        # BigGAN-deep-256 E_BIG training (config 4), bf16 — the zoo layout,
-        # live spectral norm, flash attention, cond BN; includes the
-        # to-rgb slice fix (BASELINE.md round-3 narrative)
-        try:
-            import subprocess
+    result["extra"] = extras
 
-            out = subprocess.run(
-                [sys.executable, "scripts/bench_biggan256.py", "--bf16"],
-                capture_output=True, text=True, timeout=2400,
-                cwd=str(pathlib.Path(__file__).resolve().parent),
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            extras.append(json.loads(line))
-        except Exception as e:
-            extras.append({"metric": "e_big_256_bf16", "error": str(e)[:200]})
-        try:
-            step3, state3, frozen3 = build_sg2_step(
-                batch=2, res=1024, bf16=True, enc_bf16=True,
-                lpips_fn=bench_lpips_fn(bf16=True)
-            )
-            dt3, flops3, nb3 = time_step(step3, state3, frozen3, iters=8, want_flops=True)
-            e3 = metric_entry(
-                "e_blur_case2_train_images_per_sec_1024_bf16", 2, dt3, flops3, peak, nb3, bw
-            )
-            e3["dtype"] = "bfloat16 compute, fp32 master/norms"
-            extras.append(e3)
-        except Exception as e:
-            extras.append({"metric": "sg2_1024_case2_bf16", "error": str(e)[:200]})
-    if extras:
-        result["extra"] = extras
+    def emit():
+        print(json.dumps(result), flush=True)
 
-    print(json.dumps(result))
+    emit()  # the artifact is valid from this point on
+    if fast:
+        return
+
+    def run_extra(name, est_s, fn):
+        """Run one extra inside the budget; ALWAYS re-emit the superset."""
+        if remaining() < est_s:
+            extras.append({
+                "metric": name,
+                "skipped": f"budget: {int(max(remaining(), 0))}s left < ~{est_s}s estimate",
+            })
+        else:
+            try:
+                extras.append(fn())
+            except Exception as e:  # never lose the line
+                extras.append({"metric": name, "error": str(e)[:200]})
+        emit()
+
+    # best-throughput batch for the same config (BASELINE.md scaling)
+    def x_b32():
+        s, st, fr = build_sg1_step(32, lpips_fn=lpips_fn)
+        d, f, n = time_step(s, st, fr, iters=10, want_flops=True)
+        return metric_entry("e_align_train_images_per_sec_256_b32", 32, d, f, peak, n, bw)
+
+    # bf16 variant of the primary config (parity-gated)
+    def x_bf16():
+        s, st, fr = build_sg1_step(BATCH, bf16=True, lpips_fn=bench_lpips_fn(bf16=True))
+        d, f, n = time_step(s, st, fr, iters=30, want_flops=True)
+        e = metric_entry("e_align_train_images_per_sec_256_bf16", BATCH, d, f, peak, n, bw)
+        e["dtype"] = "bfloat16 compute, fp32 master/norms"
+        return e
+
+    # bf16 variant of the best-throughput batch (40% MFU full /
+    # 45% MFU lean, BASELINE.md lean-step table)
+    def x_b32_bf16():
+        s, st, fr = build_sg1_step(32, bf16=True, lpips_fn=bench_lpips_fn(bf16=True))
+        d, f, n = time_step(s, st, fr, iters=10, want_flops=True)
+        return metric_entry(
+            "e_align_train_images_per_sec_256_b32_bf16", 32, d, f, peak, n, bw
+        )
+
+    # lean off-tick step (the CLI's default between log ticks): the
+    # detached/log-only image branch is skipped — update BITWISE the
+    # full step's (tests/test_train.py::test_lean_step_bitwise).
+    def x_lean():
+        s, st, fr = build_sg1_step(
+            BATCH, bf16=True, lpips_fn=bench_lpips_fn(bf16=True), lean=True
+        )
+        d, f, n = time_step(s, st, fr, iters=30, want_flops=True)
+        e = metric_entry(
+            "e_align_train_images_per_sec_256_bf16_lean", BATCH, d, f, peak, n, bw
+        )
+        e["workload"] = "off-tick lean step (log-only image branch skipped)"
+        return e
+
+    # flagship heavy config: SG2-1024 case-2 E_Blur (fp32 and bf16)
+    def x_sg2():
+        s, st, fr = build_sg2_step(batch=2, res=1024, lpips_fn=lpips_fn)
+        d, f, n = time_step(s, st, fr, iters=8, want_flops=True)
+        return metric_entry("e_blur_case2_train_images_per_sec_1024", 2, d, f, peak, n, bw)
+
+    def x_sg2_bf16():
+        s, st, fr = build_sg2_step(
+            batch=2, res=1024, bf16=True, enc_bf16=True,
+            lpips_fn=bench_lpips_fn(bf16=True),
+        )
+        d, f, n = time_step(s, st, fr, iters=8, want_flops=True)
+        e = metric_entry("e_blur_case2_train_images_per_sec_1024_bf16", 2, d, f, peak, n, bw)
+        e["dtype"] = "bfloat16 compute, fp32 master/norms"
+        return e
+
+    # BigGAN-deep-256 E_BIG training (config 4), bf16 — zoo layout, live
+    # spectral norm, flash attention, cond BN. Subprocess for memory
+    # isolation, but capped to the remaining budget (round 3's 2400 s
+    # allowance is what blew the driver timeout).
+    def x_biggan():
+        import subprocess
+
+        cap = int(min(max(remaining() - 30, 60), 900))
+        out = subprocess.run(
+            [sys.executable, "scripts/bench_biggan256.py", "--bf16"],
+            capture_output=True, text=True, timeout=cap,
+            cwd=str(pathlib.Path(__file__).resolve().parent),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    # cheap, high-signal extras first so a tight budget still lands them
+    run_extra("e_align_256_bf16", 150, x_bf16)
+    run_extra("e_align_b32", 200, x_b32)
+    run_extra("e_align_b32_bf16", 200, x_b32_bf16)
+    run_extra("e_align_256_bf16_lean", 150, x_lean)
+    run_extra("sg2_1024_case2", 420, x_sg2)
+    run_extra("sg2_1024_case2_bf16", 420, x_sg2_bf16)
+    run_extra("e_big_256_bf16", 300, x_biggan)
+    result["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
+    emit()
 
 
 if __name__ == "__main__":

@@ -10,20 +10,125 @@ from __future__ import annotations
 import os
 
 
+def host_fingerprint() -> str:
+    """12-hex digest of the host CPU feature set + jax version.
+
+    XLA:CPU persists AOT executables keyed by the program alone; loading
+    an entry compiled on a host with different machine features makes
+    ``cpu_aot_loader.cc`` spam errors on every run and can SIGILL
+    outright. The cache directory is therefore scoped per host
+    fingerprint: a host change starts a fresh cache instead of feeding
+    foreign binaries to the loader."""
+    import hashlib
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                # x86 "flags", arm "Features" — the machine-feature list
+                # the AOT loader validates against
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    try:
+        import jax
+
+        parts.append(jax.__version__)
+    except Exception:
+        pass
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable the persistent compilation cache (idempotent).
 
     Call before the first jit; makes TPU reruns start in seconds instead
-    of minutes over the tunnel."""
+    of minutes over the tunnel. The directory is suffixed with
+    ``host_fingerprint()`` so a stale cache from a different machine can
+    never be loaded (round-3 artifacts were wall-to-wall
+    ``cpu_aot_loader`` machine-feature errors from exactly that)."""
     import jax
 
-    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    base = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    scoped = os.path.join(base, host_fingerprint())
     try:
-        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_compilation_cache_dir", scoped)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without these knobs
+    _exclude_cpu_executables_from_cache()
+
+
+def _exclude_cpu_executables_from_cache() -> None:
+    """Keep XLA:CPU executables OUT of the persistent cache.
+
+    This build's XLA:CPU AOT deserializer stamps executables with pseudo
+    machine features (``+prefer-no-gather``/``+prefer-no-scatter``) that
+    host feature detection never reports, so every reload of a cached CPU
+    executable — even one compiled seconds earlier ON THIS HOST — logs a
+    ``cpu_aot_loader.cc`` machine-feature-mismatch error and then runs the
+    mismatched binary anyway ("could lead to execution errors such as
+    SIGILL"). Measured with /tmp/cache_probe-style A/B: first run clean,
+    every rerun 6 errors per cached CPU executable; TPU executables
+    round-trip fine. jax has no per-backend cache knob, so gate the
+    documented ``is_cache_used(backend)`` check (private API — fail open:
+    worst case is the old error spam, never a crash)."""
+    try:
+        from jax._src import compilation_cache as _cc
+
+        if getattr(_cc.is_cache_used, "_tpugan_cpu_filter", False):
+            return  # idempotent
+        _orig = _cc.is_cache_used
+
+        def _is_cache_used(backend):
+            if getattr(backend, "platform", None) == "cpu":
+                return False
+            return _orig(backend)
+
+        _is_cache_used._tpugan_cpu_filter = True
+        _cc.is_cache_used = _is_cache_used
+    except Exception:
+        pass
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Opt-in multi-host initialisation (SURVEY §2.6's DCN story).
+
+    On a multi-host TPU pod, ``jax.distributed.initialize`` wires the
+    hosts into one job: ``jax.devices()`` becomes the GLOBAL device list,
+    so the meshes built by ``parallel.make_mesh``/``auto_mesh`` span
+    hosts and XLA routes the data-parallel gradient psum over ICI inside
+    a pod slice and DCN across slices — no per-device code changes
+    anywhere in tpugan, exactly as on one host.
+
+    With no arguments the TPU runtime auto-detects the pod topology; the
+    explicit args cover CPU/GPU-style process groups. Returns True when
+    a multi-process group came up, False for a single-host no-op (so
+    ``--multihost`` is safe to pass everywhere, including this
+    single-chip environment where it cannot be exercised)."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except Exception as e:  # single host / no coordinator: harmless no-op
+        print(f"init_distributed: single-host fallback ({type(e).__name__}: {e})")
+        return False
+    n = getattr(jax, "process_count", lambda: 1)()
+    if n > 1:
+        print(f"init_distributed: {n} processes, {len(jax.devices())} global devices")
+    return n > 1
 
 
 def to_accelerator(tree, device=None):
