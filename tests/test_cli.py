@@ -404,3 +404,41 @@ def test_build_lpips_fn_bf16_wiring(tmp_path):
     assert all(f.dtype == jnp.bfloat16 for f in feats)
     d16_cached = bf16_fn(a, b, a_feats=feats)
     assert np.allclose(np.asarray(d16_cached), np.asarray(d16), atol=1e-6)
+
+
+def test_e_align_cli_checkpoint_and_resume(tmp_path):
+    """--checkpoint_every reaches save_checkpoint, and a broken run
+    resumed with --resume lands on the SAME step_4 checkpoint (bitwise
+    params + optimizer state) as an unbroken run."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from tpugan.cli.e_align import main
+    from tpugan.io.checkpoint import latest_step
+
+    common = ["--mtype", "1", *TINY, "--batch_size", "2", "--log_every", "1",
+              "--checkpoint_every", "2"]
+    exp_a = str(tmp_path / "unbroken")
+    main([*common, "--iterations", "5", "--experiment_dir", exp_a])
+    models_a = os.path.join(exp_a, "models")
+    assert latest_step(models_a) == 4  # saved at iterations 2 and 4
+
+    exp_b = str(tmp_path / "broken")
+    main([*common, "--iterations", "3", "--experiment_dir", exp_b])
+    models_b = os.path.join(exp_b, "models")
+    assert latest_step(models_b) == 2
+    main([*common, "--iterations", "5", "--resume", "--experiment_dir", exp_b])
+    assert latest_step(models_b) == 4
+
+    # Loss.txt appended across the break: 3 + 2 records at log_every=1
+    lines = open(os.path.join(exp_b, "Loss.txt")).read().strip().splitlines()
+    assert len(lines) == 5
+    assert json.loads(lines[-1])["iteration"] == 4
+
+    ckptr = ocp.StandardCheckpointer()
+    sa = ckptr.restore(os.path.join(os.path.abspath(models_a), "step_4"))
+    sb = ckptr.restore(os.path.join(os.path.abspath(models_b), "step_4"))
+    la, lb = jax.tree.leaves(sa), jax.tree.leaves(sb)
+    assert len(la) == len(lb) and len(la) > 0
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

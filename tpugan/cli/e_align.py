@@ -30,6 +30,14 @@ def main(argv=None):
                              "in tests/test_bf16.py)")
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--checkpoint_every", type=int, default=5000)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest step_<N> checkpoint in "
+                             "this experiment's models dir (params + optimizer "
+                             "state + step + sn; continued trajectory is "
+                             "bitwise the unbroken run's — "
+                             "tests/test_train.py::test_checkpoint_resume_bitwise). "
+                             "Replaces the reference's manual re-launch with "
+                             "--checkpoint_dir_E, which loses optimizer state")
     parser.add_argument("--eager_metrics", action="store_true",
                         help="compute the log-only image losses on EVERY "
                              "iteration like the reference's eager loop. By "
@@ -43,7 +51,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from tpugan.io.checkpoint import save_checkpoint
+    from tpugan.io.checkpoint import latest_step, load_checkpoint, save_checkpoint
     from tpugan.io.image import save_image_grid, to_unit
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -100,9 +108,6 @@ def main(argv=None):
     # the reference default batch 2 would not divide a 8-chip host
     mesh = auto_mesh(args.batch_size, space=args.space_shards)
     encode_used = encode_fn or make_encode_fn(bundle.encoder, enc_extra)
-    from tpugan.nn.spectral import encode_accepts_sn as _accepts_sn
-
-    encode_accepts_sn = _accepts_sn(encode_used)
     resynth_fn = bundle.resynth
     if args.bf16:
         from tpugan.precision import bf16_encode, bf16_pipeline
@@ -141,6 +146,16 @@ def main(argv=None):
             compute_image_losses=False,
         )
         jitted_lean = jax.jit(lean, donate_argnums=(0,))
+    from tpugan.train.e_align import make_align_visuals
+
+    # on-tick reconstruction grid, one compiled program per tick (same
+    # pattern as e_mis_align's make_mis_align_visuals; an eager op-by-op
+    # replay here measurably dents sustained 1024^2 throughput at
+    # --log_every 100 with lean off-tick steps)
+    visuals = jax.jit(
+        make_align_visuals(encode_used, synth_fn, resynth_fn, bundle.z_dim,
+                           args.batch_size)
+    )
     frozen = bundle.frozen
     if args.bf16:
         from tpugan.precision import bf16_frozen
@@ -156,36 +171,37 @@ def main(argv=None):
 
     name = f"mtype{args.mtype}-{args.img_size}-case{args.case}" + (f"-ab{ab}" if ab else "")
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
-    state = jax.device_put(
-        init_train_state(bundle.enc_vars["params"], opt, sn=bundle.enc_vars.get("sn")),
-        placement,
-    )
+    state = init_train_state(bundle.enc_vars["params"], opt, sn=bundle.enc_vars.get("sn"))
+    start_iteration = 0
+    if args.resume:
+        last = latest_step(models_dir)
+        if last is None:
+            print(f"--resume: no step_<N> checkpoint under {models_dir}, starting fresh")
+        else:
+            state, last = load_checkpoint(models_dir, state)
+            start_iteration = last + 1
+            print(f"resumed from {models_dir}/step_{last} (next iteration {start_iteration})")
+    state = jax.device_put(state, placement)
 
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
-    for iteration in range(args.iterations):
+    for iteration in range(start_iteration, args.iterations):
         on_tick = iteration % args.log_every == 0
         step_fn = jitted if (on_tick or jitted_lean is None) else jitted_lean
         grid = None
         if on_tick:
             # reconstruction grid like the reference (:282-285): the torch
             # script saves the imgs1/imgs2 computed DURING the iteration,
-            # i.e. at pre-update params — compute it before the donated
-            # step invalidates state's buffers
-            from tpugan.utils import iteration_key
-
-            key = iteration_key(iteration)
-            kz, kg1, ke, kg2 = jax.random.split(key, 4)
-            z = jax.random.normal(kz, (args.batch_size, bundle.z_dim))
-            batch = synth_fn(frozen, kg1, z)
-            if encode_accepts_sn:  # live spectral-norm state if carried
-                _, w2 = encode_used(state.params, batch, ke, state.sn)
-            else:
-                _, w2 = encode_used(state.params, batch, ke)
-            imgs2 = resynth_fn(frozen, w2, batch, kg2)
+            # i.e. at pre-update params (with the step's pre-encode power
+            # iteration applied to sn) — computed by the jitted visuals fn
+            # before the donated step invalidates state's buffers
             import numpy as np
 
+            vis = jax.device_get(
+                visuals(state.params, state.sn, jnp.int32(iteration), frozen)
+            )
             grid = np.concatenate(
-                [np.asarray(to_unit(batch.imgs1)), np.asarray(to_unit(imgs2))], axis=0
+                [np.asarray(to_unit(vis["imgs1"])), np.asarray(to_unit(vis["imgs2"]))],
+                axis=0,
             )
         state, info = step_fn(state, jnp.int32(iteration), frozen)
         if on_tick:

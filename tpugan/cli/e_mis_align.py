@@ -24,6 +24,11 @@ def main(argv=None):
                              "fp32; gate in tests/test_train.py)")
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--checkpoint_every", type=int, default=5000)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest step_<N> checkpoint in "
+                             "this experiment's models dir (params + optimizer "
+                             "state + step + sn; bitwise-continuation gate in "
+                             "tests/test_train.py)")
     parser.add_argument("--eager_metrics", action="store_true",
                         help="compute the log-only attention/image losses on "
                              "EVERY iteration like the reference. By default "
@@ -38,7 +43,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from tpugan.io.checkpoint import save_checkpoint
+    from tpugan.io.checkpoint import latest_step, load_checkpoint, save_checkpoint
     from tpugan.optim import lreq_adam
     from tpugan.ops.eq_lr import lreq_coef_tree
     from tpugan.train import make_encode_fn, make_mis_align_step
@@ -136,12 +141,19 @@ def main(argv=None):
 
     name = f"mtype{args.mtype}-{args.img_size}-misalign"
     base, imgs_dir, models_dir = make_result_dirs(args.experiment_dir, name)
-    state = jax.device_put(
-        init_train_state(bundle.enc_vars["params"], opt, sn=bundle.enc_vars.get("sn")),
-        placement,
-    )
+    state = init_train_state(bundle.enc_vars["params"], opt, sn=bundle.enc_vars.get("sn"))
+    start_iteration = 0
+    if args.resume:
+        last = latest_step(models_dir)
+        if last is None:
+            print(f"--resume: no step_<N> checkpoint under {models_dir}, starting fresh")
+        else:
+            state, last = load_checkpoint(models_dir, state)
+            start_iteration = last + 1
+            print(f"resumed from {models_dir}/step_{last} (next iteration {start_iteration})")
+    state = jax.device_put(state, placement)
     loss_log = open(os.path.join(base, "Loss.txt"), "a")
-    for iteration in range(args.iterations):
+    for iteration in range(start_iteration, args.iterations):
         on_tick = iteration % args.log_every == 0
         step_fn = jitted if (on_tick or jitted_lean is None) else jitted_lean
         vis = None
