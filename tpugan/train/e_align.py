@@ -402,3 +402,34 @@ def init_train_state(params, optimizer, sn=None) -> EncoderTrainState:
         params=params, opt_state=optimizer.init(params),
         step=jnp.zeros([], jnp.int32), sn=sn,
     )
+
+def make_align_visuals(encode, synth, resynth, z_dim: int, batch_size: int,
+                       seed_salt: int = 0):
+    """Jitted reconstruction-grid tensors for the aligned CLI's on-tick
+    dumps (E_align_cropping_s1.py:282-285): the torch script saves the
+    imgs1/imgs2 computed DURING the iteration, i.e. at the
+    iteration-INITIAL params and with the SAME single power iteration the
+    train step applies before encoding (:328) — so the dumped imgs2 are
+    exactly the in-iteration tensors, one compiled program per tick
+    instead of an eager op-by-op replay.
+
+    Returns ``visuals(params, sn, iteration, frozen) -> {imgs1, imgs2}``;
+    jit it once in the caller (same pattern as make_mis_align_visuals).
+    """
+    from tpugan.nn.spectral import encode_accepts_sn
+
+    accepts_sn = encode_accepts_sn(encode)
+
+    def visuals(params, sn, iteration, frozen):
+        key = iteration_key(iteration, salt=seed_salt)
+        kz, kg1, ke, kg2 = jax.random.split(key, 4)
+        z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
+        batch = jax.lax.stop_gradient(synth(frozen, kg1, z))
+        sn = power_iterate(params, sn)  # match the step's pre-encode sn
+        _, w2 = (
+            encode(params, batch, ke, sn) if accepts_sn else encode(params, batch, ke)
+        )
+        imgs2 = resynth(frozen, w2, batch, kg2)
+        return {"imgs1": batch.imgs1, "imgs2": imgs2}
+
+    return visuals

@@ -228,10 +228,16 @@ def make_mis_align_visuals(
     accepts_sn = encode_accepts_sn(encode)
 
     def visuals(params, sn, iteration, frozen, vgg_vars):
+        from tpugan.nn.spectral import power_iterate
+
         key = iteration_key(iteration, salt=seed_salt)
         kz, kg1, ke, kg2 = jax.random.split(key, 4)
         z = jax.random.normal(kz, (batch_size, z_dim), jnp.float32)
         batch = jax.lax.stop_gradient(synth(frozen, kg1, z))
+        # the train step encodes with power_iterate(params, sn) (:130);
+        # apply the same single iteration so the dumped imgs2 are exactly
+        # the in-iteration tensors, not one sn update behind
+        sn = power_iterate(params, sn)
         _, w2 = (
             encode(params, batch, ke, sn) if accepts_sn else encode(params, batch, ke)
         )
