@@ -81,7 +81,7 @@ def test_edit_latent_slice_semantics(rng):
 
 
 def _tiny_inversion_setup(optimize_e, lpips_fn=None, mesh=None, spatial=False,
-                          batch=1, iterations=20, chunk=10):
+                          batch=1, iterations=20, chunk=10, lr=0.01):
     from tpugan.invert import EmbeddingConfig, make_embedder
     from tpugan.models import Encoder, StyleGANv1Generator
     from tpugan.ops.eq_lr import lreq_coef_tree
@@ -101,12 +101,14 @@ def _tiny_inversion_setup(optimize_e, lpips_fn=None, mesh=None, spatial=False,
     def resynth(frozen, w):
         return gen.apply(frozen, w, rngs={"noise": key})
 
-    cfg = EmbeddingConfig(iterations=iterations, chunk=chunk, lr=0.01,
+    cfg = EmbeddingConfig(iterations=iterations, chunk=chunk, lr=lr,
                           optimize_e=optimize_e)
     invert = make_embedder(
         encode, resynth, enc_vars["params"], coefs, cfg, frozen=gen_vars,
         lpips_fn=lpips_fn, mesh=mesh, spatial=spatial,
     )
+    # expose the frozen-G closure so tests can evaluate losses of any w
+    invert._resynth = lambda w: resynth(gen_vars, w)
 
     # target: a synthetic image from the generator itself
     w_true = jax.random.normal(jax.random.PRNGKey(5), (batch, 6, latent))
@@ -254,3 +256,80 @@ def test_inversion_sharded_matches_single(optimize_e):
     np.testing.assert_allclose(
         np.asarray(r_s.losses), np.asarray(r_1.losses), rtol=2e-3, atol=1e-5
     )
+
+
+def _msiv_of(invert, target, w):
+    """The reference's loss_msiv (full image + 0.125*detached crops) for
+    an arbitrary w against the fixed target batch."""
+    from tpugan.losses.space_loss import space_loss
+    from tpugan.train.e_align import attention_crops
+
+    imgs2 = invert._resynth(w)
+    l_imgs, _ = space_loss(target, imgs2)
+    at1_1, at2_1 = attention_crops(target)
+    at1_2, at2_2 = attention_crops(imgs2)
+    l_med, _ = space_loss(at1_1, at1_2)
+    l_small, _ = space_loss(at2_1, at2_2)
+    return float(l_imgs + 0.125 * l_med + 0.125 * l_small)
+
+
+def test_inversion_best_loss_snapshot():
+    """embedding_v2_styleGAN1.py:127-135: the deliverable is the BEST w
+    along the trajectory. With a destabilizing lr the run is non-monotone
+    and the returned best-w must score <= the final w; arming happens at
+    iterations//2 and the recorded loss matches the history."""
+    invert, target = _tiny_inversion_setup(
+        False, iterations=30, chunk=10, lr=2.0
+    )
+    result = invert(target)
+    msiv = np.asarray(result.msiv_history)
+    assert msiv.shape == (30,)
+    it_b = int(result.iter_best)
+    assert it_b >= 30 // 2  # armed at iterations//2, never before
+    np.testing.assert_allclose(float(result.loss_best), msiv[it_b], rtol=1e-6)
+    # the snapshot beats (or ties) the final w on the reference's msiv
+    assert _msiv_of(invert, target, result.w_best) <= _msiv_of(
+        invert, target, result.w
+    ) * (1.0 + 1e-6)
+    # improvement events all post-arm and consistent with the threshold
+    improved = np.asarray(result.improved_history)
+    assert not improved[: 30 // 2].any()
+
+
+def test_inversion_best_loss_monotone_run_keeps_arm_snapshot():
+    """On a smoothly converging run nothing beats the armed minimum by 5%
+    immediately, but the snapshot must still exist (iter_best >= arm) and
+    its loss can never exceed the armed iteration's."""
+    invert, target = _tiny_inversion_setup(False, iterations=20, chunk=10)
+    result = invert(target)
+    msiv = np.asarray(result.msiv_history)
+    assert int(result.iter_best) >= 10
+    assert float(result.loss_best) <= msiv[10] * (1.0 + 1e-6)
+
+
+def test_inversion_exact_iteration_count_and_cadence():
+    """iterations not divisible by chunk run EXACTLY iterations steps (a
+    remainder chunk, not a silent round-up to the chunk size), and the
+    chunk callback fires at iteration 0 and after every chunk with w and
+    its reconstruction — the reference's per-100 save cadence."""
+    invert, target = _tiny_inversion_setup(False, iterations=7, chunk=5)
+    calls = []
+
+    def cb(iteration, w, imgs2):
+        assert w.shape == (1, 6, 32)
+        assert imgs2.shape == target.shape
+        calls.append(iteration)
+
+    result = invert(target, chunk_callback=cb)
+    assert np.asarray(result.msiv_history).shape == (7,)
+    assert calls == [0, 5, 7]
+
+
+def test_inversion_best_loss_optimize_e():
+    """Fine-tune-E mode tracks the best w too (w1 = E(imgs1) at the
+    iteration-initial params)."""
+    invert, target = _tiny_inversion_setup(True, iterations=10, chunk=5)
+    result = invert(target)
+    assert result.w_best.shape == result.w.shape
+    assert int(result.iter_best) >= 5
+    assert np.isfinite(float(result.loss_best))

@@ -172,17 +172,70 @@ def main(argv=None):
     base, imgs_dir, models_dir = make_result_dirs(
         args.experiment_dir, f"mtype{args.mtype}-embedding"
     )
+    from tpugan.io.image import save_image_grid
+
     w_all, img_all = [], []
     bs = args.batch_size
     for g in range(len(images) // bs):
         batch = jnp.asarray(images[g * bs : (g + 1) * bs])
-        result = invert(batch)
+
+        def save_cadence(iteration, w_c, imgs2_c, g=g, batch=batch):
+            # per-100-iteration w/img dumps (embedding_img.py:142-160:
+            # id%d-i%d-w%d.pt / id%d-i%d-img%d.pt + the comparison grid)
+            for i in range(bs):
+                np.save(
+                    os.path.join(models_dir, f"id{g}-i{i}-w{iteration}.npy"),
+                    np.asarray(w_c[i]),
+                )
+                np.save(
+                    os.path.join(models_dir, f"id{g}-i{i}-img{iteration}.npy"),
+                    np.asarray(imgs2_c[i]),
+                )
+            grid = np.concatenate([to_unit(batch), to_unit(imgs2_c)], axis=0)
+            save_image_grid(
+                os.path.join(imgs_dir, f"id{g}_ep{iteration}.jpg"),
+                np.clip(np.asarray(grid), 0, 1), nrow=bs,
+            )
+
+        result = invert(batch, chunk_callback=save_cadence)
         for i in range(bs):
             np.save(os.path.join(models_dir, f"id{g}-i{i}-w.npy"), np.asarray(result.w[i]))
             save_image(
                 os.path.join(imgs_dir, f"{str(g).rjust(5, '0')}_rec.png"),
                 np.clip(to_unit(result.images[i]), 0, 1),
             )
+        # best-loss snapshot: the v2 pipeline ships the BEST w along the
+        # trajectory (embedding_v2_styleGAN1.py:127-135), not the last —
+        # w code + comparison grid at the min, one loss_min.txt line per
+        # new minimum (armed at iterations/2, 5% improvement threshold)
+        if int(result.iter_best) >= 0 and np.isfinite(float(result.loss_best)):
+            it_b = int(result.iter_best)
+            lb = float(result.loss_best)
+            wn = float(np.linalg.norm(np.asarray(result.w_best)))
+            np.save(
+                os.path.join(
+                    models_dir, f"id{g}-iter{it_b}-norm{wn:.6f}-imgLoss-min{lb:.6f}.npy"
+                ),
+                np.asarray(result.w_best),
+            )
+            imgs_best = resynth(frozen_w, result.w_best)
+            grid = np.concatenate([to_unit(batch), to_unit(imgs_best)], axis=0)
+            save_image_grid(
+                os.path.join(
+                    imgs_dir, f"id{g}_ep{it_b}-norm{wn:.2f}-imgLoss-min{lb:.6f}.jpg"
+                ),
+                np.clip(np.asarray(grid), 0, 1), nrow=bs,
+            )
+            msiv = np.asarray(result.msiv_history)
+            wnorms = np.asarray(result.wnorm_history)
+            with open(os.path.join(base, "loss_min.txt"), "a") as f:
+                # one line per new minimum, like the reference (:134-135);
+                # the arm iteration itself writes nothing
+                for it_i in np.nonzero(np.asarray(result.improved_history))[0]:
+                    f.write(
+                        f"ep{g}_iter{int(it_i)}_minImg{float(msiv[it_i]):.5f}"
+                        f"_wNorm{float(wnorms[it_i]):f}\n"
+                    )
         w_all.append(np.asarray(result.w[0]))
         img_all.append(np.asarray(result.images[0]))
         print(f"image group {g}: final losses {jax.tree.map(float, result.losses[-1])}")

@@ -21,6 +21,7 @@ syncs 15 times per image instead of ~10^4.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -51,9 +52,20 @@ class EmbeddingConfig:
 
 
 class InversionResult(NamedTuple):
-    w: jax.Array  # [N, L, latent]
-    images: jax.Array  # [N, H, W, C] reconstructions
-    losses: Any  # [iterations//chunk, ...] scalar history
+    w: jax.Array  # [N, L, latent] — FINAL w (last iteration)
+    images: jax.Array  # [N, H, W, C] reconstructions at the final w
+    losses: Any  # [iterations//chunk, ...] scalar history (chunk-final)
+    # best-loss snapshot (embedding_v2_styleGAN1.py:127-135): the running
+    # loss_msiv minimum, armed at iterations//2 and updated on every 5%
+    # improvement (min > loss*1.05) — the v2 pipeline's deliverable is the
+    # BEST w along the trajectory, not the last one
+    w_best: jax.Array = None  # [N, L, latent] at the best-loss iteration
+    loss_best: jax.Array = None  # scalar loss_msiv at that iteration
+    iter_best: jax.Array = None  # iteration index of the snapshot
+    # per-iteration records for loss_min.txt replay: (msiv, improved, wnorm)
+    msiv_history: jax.Array = None  # [iterations]
+    improved_history: jax.Array = None  # [iterations] bool
+    wnorm_history: jax.Array = None  # [iterations]
 
 
 def make_embedder(
@@ -180,7 +192,7 @@ def make_embedder(
         if cfg.beta > 0.0:
             wnorm = jnp.sum(jnp.abs(w1) ** cfg.norm_p) ** (1.0 / cfg.norm_p)
             loss_mslv = loss_mslv + cfg.beta * wnorm
-        return loss_msiv, loss_mslv, (l_imgs, l_med, l_small, l_w)
+        return loss_msiv, loss_mslv, (l_imgs, l_med, l_small, l_w, w1)
 
     opt = lreq_adam(cfg.lr, coefs=enc_coefs if cfg.optimize_e else None, beta2=cfg.beta2)
 
@@ -216,8 +228,9 @@ def make_embedder(
             cache["full"] = lpips_fn.features(pool_for_lpips(imgs1))
         return cache
 
-    @jax.jit
-    def run_chunk(target, opt_state, sn, imgs1, const2_fixed, base_params, frozen_w, vgg_w, cache):
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def run_chunk(target, opt_state, sn, best, iter0, imgs1, const2_fixed,
+                  base_params, frozen_w, vgg_w, cache, length):
         from tpugan.nn.spectral import power_iterate
 
         imgs1 = constrain_imgs(imgs1)
@@ -227,8 +240,8 @@ def make_embedder(
             # the target is the (replicated) parameter tree instead
             target = constrain_vec(target)
 
-        def one_iteration(carry, _):
-            target, opt_state, sn = carry
+        def one_iteration(carry, it_global):
+            target, opt_state, sn, best = carry
             if sn is not None:
                 # live spectral norm, cadence matched to torch's
                 # per-E-forward u/v update: optimize-E runs E(imgs1) and
@@ -255,7 +268,7 @@ def make_embedder(
                 a, b, aux = iteration_losses(
                     t, imgs1, const2_fixed, base_params, frozen_w, vgg_w, sn, cache
                 )
-                return a, b
+                return a, (b, aux[4])
 
             def mslv(t):
                 _, b, _ = iteration_losses(
@@ -263,20 +276,42 @@ def make_embedder(
                 )
                 return b
 
-            (l_msiv, l_mslv), g1 = jax.value_and_grad(msiv, has_aux=True)(target)
+            (l_msiv, (l_mslv, w1)), g1 = jax.value_and_grad(msiv, has_aux=True)(target)
             g2 = jax.grad(mslv)(target)  # at the SAME pre-update target
+
+            # best-loss snapshot (embedding_v2_styleGAN1.py:127-135): armed
+            # exactly at iterations//2 (min := current loss), then a new
+            # min requires a 5% improvement (min > loss*1.05). Both the
+            # compared loss and the saved w1 are the ITERATION-INITIAL
+            # values, like the torch loop (w1/loss computed before .step()).
+            best_loss, best_w, best_it = best
+            is_arm = it_global == cfg.iterations // 2
+            best_loss = jnp.where(is_arm, l_msiv, best_loss)
+            improved = (it_global > cfg.iterations // 2) & (best_loss > l_msiv * 1.05)
+            take = is_arm | improved
+            best_loss = jnp.where(improved, l_msiv, best_loss)
+            best_w = jnp.where(take, w1, best_w)
+            best_it = jnp.where(take, it_global, best_it)
+            wnorm = jnp.sqrt(jnp.sum(jnp.square(w1)))  # torch w1.norm()
+            best = (best_loss, best_w, best_it)
+
             updates, opt_state = opt.update(g1, opt_state, target)
             target = optax.apply_updates(target, updates)
             updates, opt_state = opt.update(g2, opt_state, target)
             target = optax.apply_updates(target, updates)
-            return (target, opt_state, sn), (l_msiv, l_mslv)
+            return (target, opt_state, sn, best), (l_msiv, l_mslv, improved, wnorm)
 
-        (target, opt_state, sn), hist = jax.lax.scan(
-            one_iteration, (target, opt_state, sn), None, length=cfg.chunk
+        (target, opt_state, sn, best), hist = jax.lax.scan(
+            one_iteration, (target, opt_state, sn, best),
+            iter0 + jnp.arange(length),
         )
-        return target, opt_state, sn, hist
+        return target, opt_state, sn, best, hist
 
-    def invert(imgs1: jax.Array) -> InversionResult:
+    def invert(imgs1: jax.Array, chunk_callback=None) -> InversionResult:
+        """``chunk_callback(iteration, w, imgs2)`` fires at iteration 0 and
+        after every completed chunk (default 100 = the reference's
+        per-100-iteration w/img save cadence, embedding_img.py:142-160),
+        with the iteration-initial w and its reconstruction."""
         const2_fixed, w0 = apply_encode(base_enc_params, imgs1, sn0)
         const2_fixed = jax.lax.stop_gradient(const2_fixed)
         if cfg.optimize_e:
@@ -287,21 +322,52 @@ def make_embedder(
         sn = sn0  # fresh per batch, like the reloaded E weights
         needs_cache = cfg.attention == "gradcam" or can_cache_feats
         cache = precompute_cache(imgs1, vgg_vars) if needs_cache else {}
+        if chunk_callback is not None:
+            chunk_callback(0, w0, resynth(frozen, jax.lax.stop_gradient(w0)))
 
-        history = []
-        n_chunks = max(1, cfg.iterations // cfg.chunk)
-        for _ in range(n_chunks):
-            target, opt_state, sn, hist = run_chunk(
-                target, opt_state, sn, imgs1, const2_fixed, base_enc_params,
-                frozen, vgg_vars, cache,
+        # full chunks + one remainder chunk, so the executed iteration
+        # count is EXACTLY cfg.iterations (at most two compiled lengths)
+        lengths = [cfg.chunk] * (cfg.iterations // cfg.chunk)
+        if cfg.iterations % cfg.chunk:
+            lengths.append(cfg.iterations % cfg.chunk)
+
+        best = (
+            jnp.asarray(jnp.inf, jnp.float32),
+            jnp.zeros_like(w0),
+            jnp.asarray(-1, jnp.int32),
+        )
+        history, msiv_h, imp_h, wnorm_h = [], [], [], []
+        done = 0
+        for length in lengths:
+            target, opt_state, sn, best, hist = run_chunk(
+                target, opt_state, sn, best, jnp.int32(done), imgs1,
+                const2_fixed, base_enc_params, frozen, vgg_vars, cache,
+                length=length,
             )
-            history.append(jax.tree.map(lambda h: h[-1], hist))
+            done += length
+            history.append(jax.tree.map(lambda h: h[-1], (hist[0], hist[1])))
+            msiv_h.append(hist[0])
+            imp_h.append(hist[2])
+            wnorm_h.append(hist[3])
+            if chunk_callback is not None:
+                if cfg.optimize_e:
+                    _, w_c = apply_encode(target, imgs1, sn)
+                else:
+                    w_c = target
+                chunk_callback(done, w_c, resynth(frozen, w_c))
 
         if cfg.optimize_e:
             _, w_final = apply_encode(target, imgs1, sn)
         else:
             w_final = target
         imgs_rec = resynth(frozen, w_final)
-        return InversionResult(w=w_final, images=imgs_rec, losses=history)
+        loss_best, w_best, iter_best = best
+        return InversionResult(
+            w=w_final, images=imgs_rec, losses=history,
+            w_best=w_best, loss_best=loss_best, iter_best=iter_best,
+            msiv_history=jnp.concatenate(msiv_h),
+            improved_history=jnp.concatenate(imp_h),
+            wnorm_history=jnp.concatenate(wnorm_h),
+        )
 
     return invert
