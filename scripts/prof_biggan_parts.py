@@ -126,7 +126,12 @@ def main():
         z_dim=cfg.z_dim, batch_size=args.batch, case=1, lpips_fn=lpips_fn,
     )
     state = to_accelerator(init_train_state(evars["params"], opt, sn=evars.get("sn")))
-    sj = jax.jit(step, donate_argnums=(0,))
+    # NO donation here: timeit re-calls run() with the SAME state object,
+    # and a donated first call would hand every later call deleted buffers
+    # (prof_sg2_parts jits without donation for the same reason; bench.py
+    # donates but rebinds state every call, which a shared-timeit profiler
+    # can't). Donation saves ~1% — irrelevant for a part-bisection tool.
+    sj = jax.jit(step)
     state, _ = sj(state, jnp.int32(0), frozen)
 
     def run(state):

@@ -53,6 +53,11 @@ def add_common_args(parser: argparse.ArgumentParser, training: bool = True):
                         help="official lpips (vgg) state dict; random heads if absent")
     parser.add_argument("--vgg_weights", default=None,
                         help="torchvision vgg16 state dict (grad-cam path)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialise jax.distributed so the mesh spans "
+                             "all hosts of a TPU pod (DCN across slices); "
+                             "harmless no-op on a single host — see "
+                             "runtime.init_distributed")
     return parser
 
 
@@ -95,6 +100,12 @@ def _layer_count(img_size: int) -> int:
 
 def build_bundle(args) -> GanBundle:
     """Construct the frozen G (+ mapping) and trainable E for args.mtype."""
+    if getattr(args, "multihost", False):
+        # must run before the first device query so jax.devices() is the
+        # global pod view when auto_mesh sizes the data axis
+        from tpugan.runtime import init_distributed
+
+        init_distributed()
     mtype = args.mtype
     layer_count = _layer_count(args.img_size)
     key = jax.random.PRNGKey(args.seed)

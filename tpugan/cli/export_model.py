@@ -8,6 +8,14 @@ exports the frozen w -> image synthesis (mtype 4: (z, one-hot label) ->
 image). ``--what encode`` exports the encoder image -> (const, w)
 forward instead. ``--platforms tpu`` (repeatable) targets other
 platforms than the exporting host.
+
+Artifact call conventions (consumers of OLD artifacts, re-export):
+  * synthesis: ``f(w)`` — mtype 4 takes ``f(z, label)``.
+  * encode: ``f(imgs)`` for mtype 1/2/3 since round 3 (earlier artifacts
+    took ``f(imgs, const1)``; non-conditional encoders never read const1,
+    so the dead input was dropped — old two-input artifacts still run but
+    new exports use the one-input signature). mtype 4 (conditional E_BIG)
+    keeps ``f(imgs, cond)``.
 """
 
 from __future__ import annotations
