@@ -303,16 +303,25 @@ def make_embedder(
 
         (target, opt_state, sn, best), hist = jax.lax.scan(
             one_iteration, (target, opt_state, sn, best),
-            iter0 + jnp.arange(length),
+            # int32 either way: under enable_x64 a bare arange is int64,
+            # which would flip the best_it carry dtype mid-scan
+            iter0 + jnp.arange(length, dtype=jnp.int32),
         )
         return target, opt_state, sn, best, hist
+
+    # out-of-scan work (initial encode, per-chunk callback w/resynth,
+    # final reconstruction) must be jitted too: eager op dispatch
+    # round-trips the device link per op, which at 1024^2 costs seconds
+    # per call (verify SKILL.md "avoid eager device code")
+    encode_j = jax.jit(apply_encode)
+    resynth_j = jax.jit(resynth)
 
     def invert(imgs1: jax.Array, chunk_callback=None) -> InversionResult:
         """``chunk_callback(iteration, w, imgs2)`` fires at iteration 0 and
         after every completed chunk (default 100 = the reference's
         per-100-iteration w/img save cadence, embedding_img.py:142-160),
         with the iteration-initial w and its reconstruction."""
-        const2_fixed, w0 = apply_encode(base_enc_params, imgs1, sn0)
+        const2_fixed, w0 = encode_j(base_enc_params, imgs1, sn0)
         const2_fixed = jax.lax.stop_gradient(const2_fixed)
         if cfg.optimize_e:
             target = base_enc_params  # fresh reload per batch (:82)
@@ -323,7 +332,7 @@ def make_embedder(
         needs_cache = cfg.attention == "gradcam" or can_cache_feats
         cache = precompute_cache(imgs1, vgg_vars) if needs_cache else {}
         if chunk_callback is not None:
-            chunk_callback(0, w0, resynth(frozen, jax.lax.stop_gradient(w0)))
+            chunk_callback(0, w0, resynth_j(frozen, jax.lax.stop_gradient(w0)))
 
         # full chunks + one remainder chunk, so the executed iteration
         # count is EXACTLY cfg.iterations (at most two compiled lengths)
@@ -331,8 +340,11 @@ def make_embedder(
         if cfg.iterations % cfg.chunk:
             lengths.append(cfg.iterations % cfg.chunk)
 
+        # dtype-polymorphic carry: the loss dtype follows the compute dtype
+        # (f32 normally, f64 under the dryrun's enable_x64 equivalence
+        # pair, where a hard float32 here would break the scan carry)
         best = (
-            jnp.asarray(jnp.inf, jnp.float32),
+            jnp.asarray(jnp.inf, jnp.result_type(w0.dtype, jnp.float32)),
             jnp.zeros_like(w0),
             jnp.asarray(-1, jnp.int32),
         )
@@ -351,16 +363,16 @@ def make_embedder(
             wnorm_h.append(hist[3])
             if chunk_callback is not None:
                 if cfg.optimize_e:
-                    _, w_c = apply_encode(target, imgs1, sn)
+                    _, w_c = encode_j(target, imgs1, sn)
                 else:
                     w_c = target
-                chunk_callback(done, w_c, resynth(frozen, w_c))
+                chunk_callback(done, w_c, resynth_j(frozen, w_c))
 
         if cfg.optimize_e:
-            _, w_final = apply_encode(target, imgs1, sn)
+            _, w_final = encode_j(target, imgs1, sn)
         else:
             w_final = target
-        imgs_rec = resynth(frozen, w_final)
+        imgs_rec = resynth_j(frozen, w_final)
         loss_best, w_best, iter_best = best
         return InversionResult(
             w=w_final, images=imgs_rec, losses=history,
