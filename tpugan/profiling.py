@@ -70,3 +70,59 @@ def trace(logdir: str = "/tmp/tpugan_trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def trace_roofline(fn, args, iters: int = 3, logdir: Optional[str] = None):
+    """MEASURED roofline numbers for one jitted callable: run ``fn(*args)``
+    ``iters`` times under a ``jax.profiler`` trace and parse the xprof
+    ``op_profile`` for the dominant device program.
+
+    Returns a dict with per-call measured HBM bytes / seconds / bandwidth
+    and the hardware-counter MXU utilization — the *measured* counterpart
+    of ``compiled.cost_analysis()``'s pre-fusion "bytes accessed" upper
+    bound (which can exceed physical traffic because fused reuse is
+    counted per consumer; BASELINE.md's hbm_frac caveat). Verified on a
+    bf16 4096^2 matmul: bytes[0]/time/819GB/s reproduces the tool's own
+    bandwidthUtils[0] to 3 digits.
+
+    ``fn`` must NOT donate its inputs (it is re-called with the same
+    arguments). Requires the ``xprof`` wheel; raises RuntimeError with a
+    clear message when the trace contains no device program.
+    """
+    import glob
+    import json as _json
+    import tempfile
+
+    import jax
+
+    logdir = logdir or tempfile.mkdtemp(prefix="tpugan_roofline_")
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile/warm OUTSIDE the trace window
+    with jax.profiler.trace(logdir):
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    paths = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
+    if not paths:
+        raise RuntimeError(f"no xplane.pb under {logdir}")
+    from xprof.convert import raw_to_tool_data as _r
+
+    data, _ = _r.xspace_to_tool_data(paths, "op_profile", {})
+    prof = _json.loads(data if isinstance(data, str) else data.decode())
+    programs = prof.get("byProgram", {}).get("children") or []
+    if not programs:
+        raise RuntimeError("op_profile contains no device programs")
+    best = max(programs, key=lambda c: c["metrics"].get("rawTime", 0))
+    m = best["metrics"]
+    secs = m["normalizedTimePs"] / 1e12
+    hbm_bytes = float(m["rawBytesAccessedArray"][0])
+    return {
+        "program": best["name"],
+        "iters": iters,
+        "hbm_bytes_per_call": hbm_bytes / iters,
+        "seconds_per_call": secs / iters,
+        "measured_hbm_gbps": hbm_bytes / secs / 1e9 if secs else 0.0,
+        "mxu_utilization": m.get("flops", 0.0),
+        "flops_per_call": float(m.get("rawFlops", 0.0)) / iters,
+        "logdir": logdir,
+    }
