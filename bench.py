@@ -386,6 +386,21 @@ def main():
         e["dtype"] = "bfloat16 compute, fp32 master/norms"
         return e
 
+    # batch-8 variant of the flagship: the r4 measured roofline showed the
+    # b2 1024 step is latency/occupancy-bound, and batch is the lever
+    # (+84% img/s; batch 16 OOMs at 32.5G/15.75G HBM)
+    def x_sg2_b8_bf16():
+        s, st, fr = build_sg2_step(
+            batch=8, res=1024, bf16=True, enc_bf16=True,
+            lpips_fn=bench_lpips_fn(bf16=True),
+        )
+        d, f, n = time_step(s, st, fr, iters=8, want_flops=True)
+        e = metric_entry(
+            "e_blur_case2_train_images_per_sec_1024_b8_bf16", 8, d, f, peak, n, bw
+        )
+        e["dtype"] = "bfloat16 compute, fp32 master/norms"
+        return e
+
     # BigGAN-deep-256 E_BIG training (config 4), bf16 — zoo layout, live
     # spectral norm, flash attention, cond BN. Subprocess for memory
     # isolation, but capped to the remaining budget (round 3's 2400 s
@@ -409,6 +424,7 @@ def main():
     run_extra("e_align_256_bf16_lean", 150, x_lean)
     run_extra("sg2_1024_case2", 420, x_sg2)
     run_extra("sg2_1024_case2_bf16", 420, x_sg2_bf16)
+    run_extra("sg2_1024_case2_b8_bf16", 420, x_sg2_b8_bf16)
     run_extra("e_big_256_bf16", 300, x_biggan)
     result["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
     emit()
