@@ -30,6 +30,11 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img_size", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="images inverted simultaneously (the reference "
+                         "inverts per-image; the scan chunk is batch-"
+                         "polymorphic, so a folder can be inverted in one "
+                         "batched trajectory — see BASELINE.md r4 scaling)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--chunks", type=int, default=3)
     ap.add_argument("--no_lpips", action="store_true")
@@ -103,7 +108,9 @@ def main():
         ),
     )
 
-    imgs = to_accelerator(jax.random.normal(key, (1, args.img_size, args.img_size, 3)))
+    imgs = to_accelerator(
+        jax.random.normal(key, (args.batch, args.img_size, args.img_size, 3))
+    )
     # warm (compile)
     result = invert(imgs)
     jax.block_until_ready(result.w)
@@ -121,8 +128,9 @@ def main():
     print(json.dumps({
         "metric": f"inversion_{mode}_iters_per_sec_{args.img_size}",
         "value": round(iters / dt, 2),
-        "unit": "iterations/sec/chip (batch 1)",
+        "unit": f"iterations/sec/chip (batch {args.batch})",
         "ms_per_iteration": round(dt / iters * 1e3, 2),
+        "image_iters_per_sec": round(args.batch * iters / dt, 2),
         "bf16": args.bf16,
     }))
 
