@@ -13,23 +13,33 @@ every iteration (training_utils.py:92-95, E_align_cropping_s1.py:98), six
 VGG16 passes per step; random-weight heads cost exactly what trained ones
 cost, so the measured workload matches the reference's.
 
-Emits the result line INCREMENTALLY: the primary metric is printed
+Emits the result line INCREMENTALLY: a COMPACT JSON line is printed
 (flushed) right after the first measurement, and after every extra a
-fresh complete superset JSON line follows — parse the LAST line. A
-driver timeout at any point leaves a valid artifact, and
-``TPUGAN_BENCH_BUDGET_S`` (default 1200) bounds total wall clock by
-skipping extras that no longer fit (marked ``"skipped"``). The primary
-metric keeps the name ``e_align_train_images_per_sec_256``, but note the
-WORKLOAD changed in round 3: rounds 1-2 measured it without LPIPS in the
-step, so the number is NOT comparable to BENCH_r01/r02 (the ``workload``
-field marks the change). The additional metrics ride in the ``extra``
-list. Every metric carries:
+fresh complete superset line replaces it — parse the LAST line. The
+compact line is hard-capped at ``MAX_LINE_CHARS`` (round-5 fix: the
+driver captures only the last 2,000 chars of stdout, and round 4's
+~3.4 KB full-detail line overflowed that window, leaving an unparseable
+mid-line fragment — BENCH_r04.json ``parsed: null``). The FULL detail
+(flops/bytes/notes/roofline dicts) is written to ``BENCH_DETAILS.json``
+next to this file on every emission. A driver timeout at any point
+leaves a valid artifact, and ``TPUGAN_BENCH_BUDGET_S`` (default 900)
+bounds total wall clock by skipping extras that no longer fit (marked
+``"skip"`` in the line, ``"skipped"`` in the details).
+
+The primary metric keeps the name ``e_align_train_images_per_sec_256``,
+but note the WORKLOAD changed in round 3: rounds 1-2 measured it without
+LPIPS in the step, so the number is NOT comparable to BENCH_r01/r02 (the
+``workload`` field in the details marks the change). The additional
+metrics ride in the ``extra`` list. Every metric carries:
   * ``mfu``: model FLOPs utilization = XLA-counted FLOPs/step (from
     ``compiled.cost_analysis()``) / step time / chip bf16 MXU peak (the
     honest headroom number even for fp32 math).
   * ``hbm_frac``: XLA-counted bytes accessed / step time / chip HBM
-    bandwidth — the roofline side BASELINE.md argues with.
-  * ``flops_per_step``, ``bytes_per_step``, ``ms_per_step``.
+    bandwidth — an UPPER BOUND (pre-fusion logical bytes; can exceed 1).
+  * primary only: ``m_hbm_frac``/``m_mxu`` — the MEASURED roofline from
+    ``tpugan.profiling.trace_roofline`` hardware counters (VERDICT r4
+    ask #5; BASELINE.md's honest numbers, now in the artifact).
+  * details only: ``flops_per_step``, ``bytes_per_step``.
 
 (The round-1/2 ``vs_baseline`` host-CPU denominator was dropped: the
 reference publishes no numbers, so the meaningful fields are mfu/hbm_frac.)
@@ -46,6 +56,75 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+# The driver records only the LAST 2,000 characters of stdout
+# (measured: BENCH_r04.json len(tail)==2000, parsed:null). The compact
+# line must fit that window WITH margin for a trailing newline and any
+# stray log line, so the cap is well under 2,000.
+MAX_LINE_CHARS = 1500
+DETAILS_PATH = pathlib.Path(__file__).resolve().parent / "BENCH_DETAILS.json"
+
+# Prior-round recorded value for the identical primary workload
+# (BASELINE.md round 3/4: SGv1-Cat256 case-1 b2 fp32, LPIPS in step).
+# vs_baseline = this run / that record — a round-over-round ratio, since
+# the reference publishes no numbers of its own (BASELINE.md:3-13).
+PRIMARY_BASELINE_IMG_S = 97.6
+
+# short names for the compact line; full metric names live in the details
+_SHORT_NAMES = {
+    "e_align_train_images_per_sec_256_bf16": "256_bf16",
+    "e_align_train_images_per_sec_256_b32": "256_b32",
+    "e_align_train_images_per_sec_256_b32_bf16": "256_b32_bf16",
+    "e_align_train_images_per_sec_256_bf16_lean": "256_bf16_lean",
+    "e_blur_case2_train_images_per_sec_1024": "1024c2",
+    "e_blur_case2_train_images_per_sec_1024_bf16": "1024c2_bf16",
+    "e_blur_case2_train_images_per_sec_1024_b8_bf16": "1024c2_b8_bf16",
+    "e_big_align_train_images_per_sec_256": "big256_bf16",
+    "e_big_align_train_images_per_sec_512": "big512_b8_bf16",
+}
+
+
+def compact_line(result, max_chars=MAX_LINE_CHARS):
+    """Compress the full result dict into one JSON line <= max_chars.
+
+    Keeps the driver-required primary fields verbatim and maps every
+    extra to {m, v, mfu} (or {m, skip}/{m, err}). Degrades gracefully:
+    drops per-extra mfu, then per-extra ms, if the cap is threatened.
+    """
+    prim_keys = (
+        "metric", "value", "unit", "vs_baseline", "ms_per_step", "mfu",
+        "hbm_frac", "m_hbm_frac", "m_mxu", "device_kind", "bench_wall_s",
+    )
+    line = {k: result[k] for k in prim_keys if k in result}
+    extras = []
+    for e in result.get("extra", ()):
+        name = e.get("metric", "?")
+        c = {"m": _SHORT_NAMES.get(name, name)}
+        if "skipped" in e:
+            c["skip"] = str(e["skipped"])[:60]
+        elif "error" in e:
+            c["err"] = str(e["error"])[:60]
+        else:
+            c["v"] = e.get("value")
+            if "mfu" in e:
+                c["mfu"] = e["mfu"]
+            if "ms_per_step" in e:
+                c["ms"] = e["ms_per_step"]
+        extras.append(c)
+    line["extra"] = extras
+    line["details"] = DETAILS_PATH.name
+    out = json.dumps(line)
+    for drop in ("ms", "mfu"):
+        if len(out) <= max_chars:
+            break
+        for c in extras:
+            c.pop(drop, None)
+        out = json.dumps(line)
+    if len(out) > max_chars:  # last resort: shed extras from the end
+        while len(out) > max_chars and extras:
+            extras.pop()
+        out = json.dumps(line)
+    return out
 
 from tpugan.runtime import enable_compilation_cache
 
@@ -153,13 +232,19 @@ def build_sg1_step(batch, bf16=False, lpips_fn=None, lean=False):
     return step, state, frozen
 
 
-def build_sg2_step(batch=2, res=1024, bf16=False, enc_bf16=False, remat=False,
-                   lpips_fn=None, remat_policy=None):
+_SG2_INIT_CACHE = {}
+
+
+def _sg2_modules_and_vars(res):
+    """Init the SG2 generator + E_Blur encoder ONCE per resolution.
+
+    The variables are initialized with batch-1 inputs, so the same trees
+    serve every batch size and dtype variant — sharing them across the
+    three SG2-1024 extras removes two redundant multi-minute CPU inits
+    (VERDICT r4 ask #7: share the built step where possible)."""
+    if res in _SG2_INIT_CACHE:
+        return _SG2_INIT_CACHE[res]
     from tpugan.models import Encoder, StyleGAN2Generator
-    from tpugan.optim import lreq_adam
-    from tpugan.ops.eq_lr import lreq_coef_tree
-    from tpugan.train import make_encode_fn, make_train_step
-    from tpugan.train.e_align import SynthBatch, init_train_state
 
     startf = {128: 128, 256: 64, 512: 32, 1024: 16}[res]
     layer_count = {128: 6, 256: 7, 512: 8, 1024: 9}[res]
@@ -169,6 +254,18 @@ def build_sg2_step(batch=2, res=1024, bf16=False, enc_bf16=False, remat=False,
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         gvars = jax.jit(gen.init)({"params": key}, jnp.zeros((1, 512)))
         evars = jax.jit(enc.init)({"params": key, "noise": key}, jnp.zeros((1, res, res, 3)))
+    _SG2_INIT_CACHE[res] = (gen, enc, gvars, evars)
+    return _SG2_INIT_CACHE[res]
+
+
+def build_sg2_step(batch=2, res=1024, bf16=False, enc_bf16=False, remat=False,
+                   lpips_fn=None, remat_policy=None):
+    from tpugan.optim import lreq_adam
+    from tpugan.ops.eq_lr import lreq_coef_tree
+    from tpugan.train import make_encode_fn, make_train_step
+    from tpugan.train.e_align import SynthBatch, init_train_state
+
+    gen, enc, gvars, evars = _sg2_modules_and_vars(res)
 
     coefs = lreq_coef_tree(evars["params"], evars["lreq"])
     opt = lreq_adam(0.0015, coefs=coefs)
@@ -280,16 +377,44 @@ def metric_entry(name, batch, dt, flops, peak, nbytes=None, bw=None,
     return entry
 
 
+def measured_roofline(step, state, frozen, iters=3):
+    """Hardware-counter roofline for the primary step (VERDICT r4 ask #5).
+
+    Uses a NON-donating jit (trace_roofline re-calls with the same args),
+    so this costs one extra compile of the primary step — served from the
+    persistent compilation cache when warm. Returns compact fields or {}
+    when the xprof wheel / trace is unavailable."""
+    from tpugan.profiling import trace_roofline
+
+    target = jax.devices()[0]
+    state = jax.device_put(state, target)
+    frozen = jax.device_put(frozen, target)
+    jitted = jax.jit(step)
+    r = trace_roofline(lambda s: jitted(s, jnp.int32(0), frozen), (state,), iters=iters)
+    bw = chip_hbm_bw()
+    out = {
+        "m_hbm_gb": round(r["hbm_bytes_per_call"] / 1e9, 3),
+        "m_dev_ms": round(r["seconds_per_call"] * 1e3, 2),
+        "m_mxu": round(float(r["mxu_utilization"]), 4),
+    }
+    if bw:
+        out["m_hbm_frac"] = round(r["hbm_bytes_per_call"] / r["seconds_per_call"] / bw, 4)
+    return out
+
+
 def main():
     # Incremental emission (round-4 fix for BENCH_r03 rc=124/parsed=null):
-    # the primary-metric JSON line is printed and flushed IMMEDIATELY
-    # after the first measurement; after every extra a fresh, complete,
-    # superset line replaces it. A driver timeout at ANY point leaves a
-    # valid last-line artifact. TPUGAN_BENCH_BUDGET_S (default 1200 s)
-    # bounds wall clock: extras that would not fit the remaining budget
-    # are recorded with a "skipped" marker instead of being attempted.
+    # a COMPACT JSON line (round-5 fix for BENCH_r04 parsed=null — the
+    # full line overflowed the driver's 2,000-char tail) is printed and
+    # flushed IMMEDIATELY after the first measurement; after every extra
+    # a fresh, complete, superset line replaces it, and the full-detail
+    # dict is rewritten to BENCH_DETAILS.json. A driver timeout at ANY
+    # point leaves a valid last-line artifact. TPUGAN_BENCH_BUDGET_S
+    # (default 900 s) bounds wall clock: extras that would not fit the
+    # remaining budget are recorded with a "skipped" marker instead of
+    # being attempted.
     t_start = time.perf_counter()
-    budget = float(os.environ.get("TPUGAN_BENCH_BUDGET_S", "1200"))
+    budget = float(os.environ.get("TPUGAN_BENCH_BUDGET_S", "900"))
     fast = os.environ.get("TPUGAN_BENCH_FAST", "0") == "1"
 
     def remaining():
@@ -299,10 +424,21 @@ def main():
     bw = chip_hbm_bw()
     lpips_fn = bench_lpips_fn()
 
-    step, state, frozen = build_sg1_step(BATCH, lpips_fn=lpips_fn)
-    dt, flops, nb = time_step(step, state, frozen, iters=30, want_flops=True)
+    step, state0, frozen = build_sg1_step(BATCH, lpips_fn=lpips_fn)
+    # pre-donation copy: time_step donates the state, and leaves already
+    # on the target device are donated in place (the int32 step scalar) —
+    # the roofline trace below needs a live state
+    state_r = jax.tree.map(
+        lambda x: jnp.array(x, copy=True) if hasattr(x, "dtype") else x, state0
+    )
+    dt, flops, nb = time_step(step, state0, frozen, iters=30, want_flops=True)
 
     result = metric_entry("e_align_train_images_per_sec_256", BATCH, dt, flops, peak, nb, bw)
+    result["vs_baseline"] = round(result["value"] / PRIMARY_BASELINE_IMG_S, 3)
+    result["baseline"] = (
+        f"{PRIMARY_BASELINE_IMG_S} img/s/chip, same workload, round 3/4 record "
+        "(BASELINE.md; the reference publishes no numbers)"
+    )
     result["dtype"] = "float32"
     result["workload"] = "lpips-in-step (6 VGG16 passes/iter, reference parity)"
     if peak:
@@ -313,9 +449,21 @@ def main():
     result["extra"] = extras
 
     def emit():
-        print(json.dumps(result), flush=True)
+        try:
+            DETAILS_PATH.write_text(json.dumps(result, indent=1) + "\n")
+        except OSError:
+            pass  # details are best-effort; the stdout line is the artifact
+        print(compact_line(result), flush=True)
 
     emit()  # the artifact is valid from this point on
+
+    # measured hardware-counter roofline of the primary step (one trace)
+    try:
+        result.update(measured_roofline(step, state_r, frozen))
+    except Exception as e:
+        result["m_roofline_error"] = str(e)[:120]
+    del state0, state_r
+    emit()
     if fast:
         return
 
@@ -327,10 +475,13 @@ def main():
                 "skipped": f"budget: {int(max(remaining(), 0))}s left < ~{est_s}s estimate",
             })
         else:
+            t0 = time.perf_counter()
             try:
-                extras.append(fn())
+                entry = fn()
             except Exception as e:  # never lose the line
-                extras.append({"metric": name, "error": str(e)[:200]})
+                entry = {"metric": name, "error": str(e)[:200]}
+            entry["wall_s"] = round(time.perf_counter() - t0, 1)
+            extras.append(entry)
         emit()
 
     # best-throughput batch for the same config (BASELINE.md scaling)
@@ -401,31 +552,37 @@ def main():
         e["dtype"] = "bfloat16 compute, fp32 master/norms"
         return e
 
-    # BigGAN-deep-256 E_BIG training (config 4), bf16 — zoo layout, live
-    # spectral norm, flash attention, cond BN. Subprocess for memory
-    # isolation, but capped to the remaining budget (round 3's 2400 s
-    # allowance is what blew the driver timeout).
-    def x_biggan():
+    # BigGAN E_BIG training (config 4), bf16 — zoo layout, live spectral
+    # norm, flash attention, cond BN. Subprocess for memory isolation,
+    # but capped to the remaining budget (round 3's 2400 s allowance is
+    # what blew the driver timeout).
+    def x_biggan(img_size, batch, extra_args=()):
         import subprocess
 
         cap = int(min(max(remaining() - 30, 60), 900))
         out = subprocess.run(
-            [sys.executable, "scripts/bench_biggan256.py", "--bf16"],
+            [sys.executable, "scripts/bench_biggan256.py", "--bf16",
+             "--img_size", str(img_size), "--batch", str(batch), *extra_args],
             capture_output=True, text=True, timeout=cap,
             cwd=str(pathlib.Path(__file__).resolve().parent),
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
-    # cheap, high-signal extras first so a tight budget still lands them
-    run_extra("e_align_256_bf16", 150, x_bf16)
-    run_extra("e_align_b32", 200, x_b32)
-    run_extra("e_align_b32_bf16", 200, x_b32_bf16)
-    run_extra("e_align_256_bf16_lean", 150, x_lean)
-    run_extra("sg2_1024_case2", 420, x_sg2)
-    run_extra("sg2_1024_case2_bf16", 420, x_sg2_bf16)
-    run_extra("sg2_1024_case2_b8_bf16", 420, x_sg2_b8_bf16)
-    run_extra("e_big_256_bf16", 300, x_biggan)
+    # Order (VERDICT r4 asks #3/#7): BigGAN FIRST among the heavy extras —
+    # it has never landed in a driver artifact — then the flagship
+    # SG2-1024 rows, then the cheaper 256² variants. Estimates calibrated
+    # from the measured r5 per-extra walls (the "wall_s" field each entry
+    # now carries in BENCH_DETAILS.json).
+    run_extra("e_align_256_bf16", 120, x_bf16)
+    run_extra("e_big_256_bf16", 240, lambda: x_biggan(256, 2))
+    run_extra("e_big_512_b8_bf16", 300, lambda: x_biggan(512, 8))
+    run_extra("sg2_1024_case2_b8_bf16", 330, x_sg2_b8_bf16)
+    run_extra("sg2_1024_case2_bf16", 300, x_sg2_bf16)
+    run_extra("e_align_b32_bf16", 150, x_b32_bf16)
+    run_extra("e_align_256_bf16_lean", 120, x_lean)
+    run_extra("e_align_b32", 150, x_b32)
+    run_extra("sg2_1024_case2", 300, x_sg2)
     result["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
     emit()
 
