@@ -61,6 +61,47 @@ def test_init_distributed_single_host_noop():
     assert len(jax.devices()) >= 1
 
 
+def _failing_initialize(monkeypatch):
+    import jax
+
+    def boom(**kw):
+        raise RuntimeError("coordinator unreachable (simulated)")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+
+
+def test_init_distributed_raises_on_explicit_group(monkeypatch):
+    """An explicitly-described process group must FAIL FAST when the
+    coordinator cannot come up (ADVICE r4): a silent single-host fallback
+    on a real pod leaves N independent jobs running."""
+    import pytest
+
+    from tpugan.runtime import init_distributed
+
+    _failing_initialize(monkeypatch)
+    with pytest.raises(RuntimeError, match="refusing to fall back"):
+        init_distributed(
+            coordinator_address="coord:1234", num_processes=2, process_id=0
+        )
+
+
+def test_init_distributed_raises_under_pod_markers(monkeypatch):
+    import pytest
+
+    from tpugan.runtime import init_distributed
+
+    _failing_initialize(monkeypatch)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    with pytest.raises(RuntimeError, match="refusing to fall back"):
+        init_distributed()
+
+
+def test_is_primary_host_single_process():
+    from tpugan.runtime import is_primary_host
+
+    assert is_primary_host() is True
+
+
 def test_multihost_flag_parses():
     import argparse
 

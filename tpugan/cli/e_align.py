@@ -183,7 +183,14 @@ def main(argv=None):
             print(f"resumed from {models_dir}/step_{last} (next iteration {start_iteration})")
     state = jax.device_put(state, placement)
 
-    loss_log = open(os.path.join(base, "Loss.txt"), "a")
+    # multi-host: every process launches the SAME jitted programs (SPMD),
+    # but only process 0 writes Loss.txt / grids / stdout records —
+    # checkpoint saves stay on ALL processes (orbax save barrier; the
+    # experiment dir must be a shared path on a real pod)
+    from tpugan.runtime import is_primary_host
+
+    primary = is_primary_host()
+    loss_log = open(os.path.join(base, "Loss.txt"), "a") if primary else None
     for iteration in range(start_iteration, args.iterations):
         on_tick = iteration % args.log_every == 0
         step_fn = jitted if (on_tick or jitted_lean is None) else jitted_lean
@@ -204,7 +211,7 @@ def main(argv=None):
                 axis=0,
             )
         state, info = step_fn(state, jnp.int32(iteration), frozen)
-        if on_tick:
+        if on_tick and primary:
             from tpugan.train.e_align import info_scalars
 
             # the full ~35-scalar set the reference logs per iteration
@@ -223,7 +230,8 @@ def main(argv=None):
             )
         if iteration % args.checkpoint_every == 0 and iteration > 0:
             save_checkpoint(models_dir, state, iteration)
-    loss_log.close()
+    if loss_log is not None:
+        loss_log.close()
 
 
 if __name__ == "__main__":

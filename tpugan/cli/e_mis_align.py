@@ -152,7 +152,12 @@ def main(argv=None):
             start_iteration = last + 1
             print(f"resumed from {models_dir}/step_{last} (next iteration {start_iteration})")
     state = jax.device_put(state, placement)
-    loss_log = open(os.path.join(base, "Loss.txt"), "a")
+    # multi-host: every process launches the SAME jitted programs (SPMD),
+    # but only process 0 writes artifacts (see runtime.is_primary_host)
+    from tpugan.runtime import is_primary_host
+
+    primary = is_primary_host()
+    loss_log = open(os.path.join(base, "Loss.txt"), "a") if primary else None
     for iteration in range(start_iteration, args.iterations):
         on_tick = iteration % args.log_every == 0
         step_fn = jitted if (on_tick or jitted_lean is None) else jitted_lean
@@ -166,7 +171,7 @@ def main(argv=None):
                 visuals(state.params, state.sn, jnp.int32(iteration), frozen, vgg_vars)
             )
         state, info = step_fn(state, jnp.int32(iteration), frozen, vgg_vars)
-        if on_tick:
+        if on_tick and primary:
             from tpugan.train.e_align import info_scalars
 
             # full per-group scalar set (E_mis_align_cropping_s1.py logs
@@ -213,7 +218,8 @@ def main(argv=None):
             )
         if iteration % args.checkpoint_every == 0 and iteration > 0:
             save_checkpoint(models_dir, state, iteration)
-    loss_log.close()
+    if loss_log is not None:
+        loss_log.close()
 
 
 if __name__ == "__main__":

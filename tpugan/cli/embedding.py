@@ -5,6 +5,17 @@
 [--beta 0.0002 --norm_p 2]`` — saves per-image w codes (.npy) and
 reconstructions, plus the stacked w_all/img_all arrays like the reference
 (embedding_img.py:163-170).
+
+Best-loss snapshot artifact differences vs embedding_v2_styleGAN1.py
+(ADVICE r4; trajectory semantics are identical and tested,
+tests/test_eval_invert.py):
+  * only the FINAL minimum's w/grid files are written (the reference
+    re-writes a file at every new minimum; the last one wins there too);
+  * a baseline snapshot is taken when the tracker arms at
+    ``iterations // 2`` even if the reference would have saved nothing
+    (it only writes on an improvement after arming);
+  * in optimize-w mode the snapshot holds the iteration-INITIAL w1
+    (the reference saves the post-update w1 of the improving iteration).
 """
 
 from __future__ import annotations

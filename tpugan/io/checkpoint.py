@@ -22,7 +22,11 @@ def _ckpt_dir(path):
 
 
 def save_checkpoint(path: str, state: Any, step: int) -> str:
-    """Save a pytree under ``path/step_<N>`` (atomic via orbax)."""
+    """Save a pytree under ``path/step_<N>`` (atomic via orbax).
+
+    Multi-host: call from EVERY process (orbax coordinates the save with
+    a cross-process barrier; gating it on process 0 would deadlock), and
+    ``path`` must resolve to the same shared filesystem on all hosts."""
     import orbax.checkpoint as ocp
 
     target = os.path.join(os.path.abspath(_ckpt_dir(path)), f"step_{step}")

@@ -91,8 +91,15 @@ def _exclude_cpu_executables_from_cache() -> None:
 
         _is_cache_used._tpugan_cpu_filter = True
         _cc.is_cache_used = _is_cache_used
-    except Exception:
-        pass
+    except Exception as e:
+        # fail open, but VISIBLY: a jax upgrade that renames the private
+        # symbol silently reintroduces the cpu_aot_loader error spam /
+        # SIGILL risk otherwise (ADVICE r4)
+        print(
+            "tpugan.runtime: could not install the CPU compilation-cache "
+            f"filter ({type(e).__name__}: {e}); cached XLA:CPU executables "
+            "may log cpu_aot_loader machine-feature errors on reload"
+        )
 
 
 def init_distributed(
@@ -113,7 +120,14 @@ def init_distributed(
     explicit args cover CPU/GPU-style process groups. Returns True when
     a multi-process group came up, False for a single-host no-op (so
     ``--multihost`` is safe to pass everywhere, including this
-    single-chip environment where it cannot be exercised)."""
+    single-chip environment where it cannot be exercised).
+
+    Failure semantics (ADVICE r4): when the caller explicitly described a
+    process group (coordinator_address / num_processes) or the
+    environment is visibly a TPU pod, an initialize failure RAISES — a
+    silent per-host fallback there would leave N independent single-host
+    jobs running instead of one pod job. The quiet no-op is reserved for
+    the genuinely-single-host case."""
     import jax
 
     try:
@@ -122,13 +136,53 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except Exception as e:  # single host / no coordinator: harmless no-op
+    except Exception as e:
+        explicit_group = coordinator_address is not None or (num_processes or 0) > 1
+        if explicit_group or _looks_like_pod():
+            raise RuntimeError(
+                "init_distributed: jax.distributed.initialize failed in a "
+                "multi-host context — refusing to fall back to N independent "
+                f"single-host jobs ({type(e).__name__}: {e})"
+            ) from e
         print(f"init_distributed: single-host fallback ({type(e).__name__}: {e})")
         return False
     n = getattr(jax, "process_count", lambda: 1)()
     if n > 1:
         print(f"init_distributed: {n} processes, {len(jax.devices())} global devices")
     return n > 1
+
+
+def _looks_like_pod() -> bool:
+    """Environment markers the TPU runtime sets on multi-host pod slices.
+
+    ``TPU_WORKER_HOSTNAMES`` exists on SINGLE-host machines too (this
+    axon host sets it to ``localhost``), so it only counts as a pod
+    marker when it names more than one worker."""
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        return True
+    return any(
+        os.environ.get(m)
+        for m in ("MEGASCALE_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+
+
+def is_primary_host() -> bool:
+    """True on process 0 (and on any single-process run).
+
+    Multi-host CLIs gate host-side ARTIFACT WRITES (Loss.txt appends,
+    image grids, stdout log records) on this so N pod processes don't
+    race appends to the same shared-filesystem files (ADVICE r4). Note
+    what is NOT gated: jitted computations (every process must launch the
+    same SPMD program or the pod deadlocks) and orbax checkpoint saves
+    (all processes must participate in the save barrier; the experiment
+    dir must be a shared path on a real pod — see io/checkpoint.py)."""
+    import jax
+
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
 
 
 def to_accelerator(tree, device=None):
