@@ -22,9 +22,11 @@ driver captures only the last 2,000 chars of stdout, and round 4's
 mid-line fragment — BENCH_r04.json ``parsed: null``). The FULL detail
 (flops/bytes/notes/roofline dicts) is written to ``BENCH_DETAILS.json``
 next to this file on every emission. A driver timeout at any point
-leaves a valid artifact, and ``TPUGAN_BENCH_BUDGET_S`` (default 900)
-bounds total wall clock by skipping extras that no longer fit (marked
-``"skip"`` in the line, ``"skipped"`` in the details).
+leaves a valid artifact, and ``TPUGAN_BENCH_BUDGET_S`` (default 1050,
+inside round 4's proven-safe 1106 s driver envelope) bounds total wall
+clock by skipping extras that no longer fit (marked ``"skip"`` in the
+line, ``"skipped"`` in the details). ``TPUGAN_BENCH_ALL=1`` re-enables
+the fp32/legacy extras recorded in BASELINE.md.
 
 The primary metric keeps the name ``e_align_train_images_per_sec_256``,
 but note the WORKLOAD changed in round 3: rounds 1-2 measured it without
@@ -410,11 +412,16 @@ def main():
     # a fresh, complete, superset line replaces it, and the full-detail
     # dict is rewritten to BENCH_DETAILS.json. A driver timeout at ANY
     # point leaves a valid last-line artifact. TPUGAN_BENCH_BUDGET_S
-    # (default 900 s) bounds wall clock: extras that would not fit the
+    # (default 1050 s) bounds wall clock: extras that would not fit the
     # remaining budget are recorded with a "skipped" marker instead of
     # being attempted.
     t_start = time.perf_counter()
-    budget = float(os.environ.get("TPUGAN_BENCH_BUDGET_S", "900"))
+    # Default budget 1050 s: round 4 proved the driver records rc=0 at a
+    # wall of 1106 s, so 1050 stays inside the proven-safe envelope while
+    # leaving room for the flagship SG2-1024 b8 row on a cold
+    # compilation cache (measured cold walls: primary ~290 s, 256-bf16
+    # 160 s, BigGAN-256 247 s, SG2-1024-b8 ~330 s).
+    budget = float(os.environ.get("TPUGAN_BENCH_BUDGET_S", "1050"))
     fast = os.environ.get("TPUGAN_BENCH_FAST", "0") == "1"
 
     def remaining():
@@ -468,20 +475,35 @@ def main():
         return
 
     def run_extra(name, est_s, fn):
-        """Run one extra inside the budget; ALWAYS re-emit the superset."""
+        """Run one extra inside the budget; ALWAYS re-emit the superset.
+
+        Transient axon-tunnel failures (INTERNAL remote_compile /
+        DEADLINE_EXCEEDED / UNAVAILABLE) are retried ONCE when the
+        remaining budget still covers the estimate — round-5 validation
+        lost a 133 s extra to a single dropped remote_compile response."""
         if remaining() < est_s:
             extras.append({
                 "metric": name,
                 "skipped": f"budget: {int(max(remaining(), 0))}s left < ~{est_s}s estimate",
             })
-        else:
-            t0 = time.perf_counter()
+            emit()
+            return
+        t0 = time.perf_counter()
+        entry = None
+        for attempt in (1, 2):
             try:
                 entry = fn()
+                break
             except Exception as e:  # never lose the line
-                entry = {"metric": name, "error": str(e)[:200]}
-            entry["wall_s"] = round(time.perf_counter() - t0, 1)
-            extras.append(entry)
+                msg = str(e)
+                transient = any(
+                    s in msg for s in ("INTERNAL", "DEADLINE_EXCEEDED", "UNAVAILABLE")
+                )
+                if attempt == 1 and transient and remaining() > est_s:
+                    continue
+                entry = {"metric": name, "error": msg[:200]}
+        entry["wall_s"] = round(time.perf_counter() - t0, 1)
+        extras.append(entry)
         emit()
 
     # best-throughput batch for the same config (BASELINE.md scaling)
@@ -569,20 +591,24 @@ def main():
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
-    # Order (VERDICT r4 asks #3/#7): BigGAN FIRST among the heavy extras —
-    # it has never landed in a driver artifact — then the flagship
-    # SG2-1024 rows, then the cheaper 256² variants. Estimates calibrated
-    # from the measured r5 per-extra walls (the "wall_s" field each entry
-    # now carries in BENCH_DETAILS.json).
+    # Order (VERDICT r4 asks #3/#7): the three families the artifact must
+    # carry land first — 256² bf16, BigGAN-256, then the flagship
+    # SG2-1024 b8 — followed by BigGAN-512 b8 (the best per-chip number)
+    # and the cheaper 256² variants. Estimates are the measured r5
+    # COLD-cache walls (each entry's "wall_s" in BENCH_DETAILS.json).
+    # The fp32 SG2-1024/b32 rows and the superseded b2-bf16 SG2 row were
+    # dropped from the default list (recorded in BASELINE.md; fp32 is not
+    # the operating point) so a warm-cache run finishes with zero skips.
     run_extra("e_align_256_bf16", 120, x_bf16)
-    run_extra("e_big_256_bf16", 240, lambda: x_biggan(256, 2))
+    run_extra("e_big_256_bf16", 260, lambda: x_biggan(256, 2))
+    run_extra("sg2_1024_case2_b8_bf16", 340, x_sg2_b8_bf16)
     run_extra("e_big_512_b8_bf16", 300, lambda: x_biggan(512, 8))
-    run_extra("sg2_1024_case2_b8_bf16", 330, x_sg2_b8_bf16)
-    run_extra("sg2_1024_case2_bf16", 300, x_sg2_bf16)
-    run_extra("e_align_b32_bf16", 150, x_b32_bf16)
     run_extra("e_align_256_bf16_lean", 120, x_lean)
-    run_extra("e_align_b32", 150, x_b32)
-    run_extra("sg2_1024_case2", 300, x_sg2)
+    run_extra("e_align_b32_bf16", 150, x_b32_bf16)
+    if os.environ.get("TPUGAN_BENCH_ALL", "0") == "1":  # fp32 / legacy rows
+        run_extra("sg2_1024_case2_bf16", 300, x_sg2_bf16)
+        run_extra("e_align_b32", 150, x_b32)
+        run_extra("sg2_1024_case2", 300, x_sg2)
     result["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
     emit()
 
