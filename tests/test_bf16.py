@@ -45,6 +45,7 @@ def _recon_metrics(synth, resynth, frozen, enc, evars, key):
     return float(psnr(a, b)), float(ssim_uniform(a[0], b[0]))
 
 
+@pytest.mark.heavy
 def test_bf16_sg2_recon_parity_gate():
     """Recon PSNR/SSIM through the bf16 generator within 0.5% of fp32."""
     synth, resynth, gvars, enc, evars = _sg2_setup()
@@ -103,6 +104,7 @@ def test_bf16_sg1_pipeline_runs():
     assert err / scale < 0.08, err / scale
 
 
+@pytest.mark.heavy
 def test_bf16_training_trajectory_close():
     """10 case-2 train steps with the full bf16 compute path (generator +
     encoder, fp32 master weights): the loss trajectory tracks fp32."""
@@ -156,6 +158,7 @@ def test_bf16_pggan_synthesis_close():
     assert err / scale < 0.05, err / scale
 
 
+@pytest.mark.heavy
 def test_bf16_biggan_synthesis_close():
     """BigGAN-deep (cond BN truncation interpolation + SelfAttn) in bf16."""
     from tpugan.models import BigGAN, BigGANConfig
@@ -184,6 +187,7 @@ def test_bf16_biggan_synthesis_close():
     assert err < 0.05, err
 
 
+@pytest.mark.heavy
 def test_bf16_case2_train_step_close():
     """One case-2 train step with the bf16 generator: loss matches fp32
     closely and gradients stay fp32/finite."""

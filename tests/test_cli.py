@@ -13,6 +13,7 @@ pytestmark = pytest.mark.slow
 TINY = ["--img_size", "16", "--start_features", "128", "--random_init"]
 
 
+@pytest.mark.heavy
 def test_e_align_cli_case1(tmp_path):
     from tpugan.cli.e_align import main
 
@@ -40,6 +41,7 @@ def test_e_align_cli_case2_pggan(tmp_path):
     assert os.path.exists(os.path.join(exp, "Loss.txt"))
 
 
+@pytest.mark.heavy
 def test_embedding_cli_optimize_w(tmp_path):
     from tpugan.cli.embedding import main
     from tpugan.io.image import save_image
@@ -61,6 +63,7 @@ def test_embedding_cli_optimize_w(tmp_path):
     assert w_all.shape == (2, 6, 512)
 
 
+@pytest.mark.heavy
 def test_embedding_cli_finetune_e_bf16(tmp_path):
     """--optimizeE true --bf16: fine-tune-E with bf16 encoder compute
     (bf16_encode_images wiring in cli/embedding.py) runs end-to-end and
@@ -85,6 +88,7 @@ def test_embedding_cli_finetune_e_bf16(tmp_path):
     assert np.all(np.isfinite(w_all))
 
 
+@pytest.mark.heavy
 def test_export_model_cli(tmp_path):
     """Serving-artifact export: the CLI writes a StableHLO blob and its
     --check pass reloads it and matches the live jitted function."""
@@ -157,6 +161,7 @@ def test_synthesize_cli(tmp_path):
     assert "seed30000.png" in files and "seed30001.png" in files
 
 
+@pytest.mark.heavy
 def test_e_align_cli_ablation_z(tmp_path):
     """Ablation step 1: z-only encoder with Gm re-mapping."""
     from tpugan.cli.e_align import main
@@ -172,6 +177,7 @@ def test_e_align_cli_ablation_z(tmp_path):
     assert np.isfinite(rec["loss_c_mse"])  # the z loss drives this ablation
 
 
+@pytest.mark.heavy
 def test_e_align_cli_ablation_8(tmp_path):
     from tpugan.cli.e_align import main
 
@@ -211,6 +217,7 @@ def test_cached_path_local(tmp_path):
         pass
 
 
+@pytest.mark.heavy
 def test_e_align_cli_stylegan2(tmp_path):
     from tpugan.cli.e_align import main
 
@@ -223,6 +230,7 @@ def test_e_align_cli_stylegan2(tmp_path):
     assert os.path.exists(os.path.join(exp, "Loss.txt"))
 
 
+@pytest.mark.heavy
 def test_e_align_cli_biggan(tmp_path):
     from tpugan.cli.e_align import main
     from tpugan.models import BigGANConfig
@@ -247,6 +255,7 @@ def test_e_align_cli_biggan(tmp_path):
     assert os.path.exists(os.path.join(exp, "Loss.txt"))
 
 
+@pytest.mark.heavy
 def test_e_mis_align_cli(tmp_path):
     from tpugan.cli.e_mis_align import main
 
@@ -280,6 +289,7 @@ def test_e_mis_align_cli(tmp_path):
     assert np.isfinite(rec16["loss_mask_mse"]) and np.isfinite(rec16["loss_grad_mse"])
 
 
+@pytest.mark.heavy
 def test_synthesize_cli_biggan(tmp_path):
     from tpugan.cli.synthesize import main
     from tpugan.models import BigGANConfig
@@ -301,6 +311,7 @@ def test_synthesize_cli_biggan(tmp_path):
     assert "seed30000.png" in os.listdir(os.path.join(exp, "imgs"))
 
 
+@pytest.mark.heavy
 def test_embedding_cli_biggan_optimize_e(tmp_path):
     """mtype-4 inversion: fixed class condition, conditional encoder with
     live spectral norm, fine-tune-E mode (embedding_v2_BigGAN.py)."""
@@ -406,6 +417,7 @@ def test_build_lpips_fn_bf16_wiring(tmp_path):
     assert np.allclose(np.asarray(d16_cached), np.asarray(d16), atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_e_align_cli_checkpoint_and_resume(tmp_path):
     """--checkpoint_every reaches save_checkpoint, and a broken run
     resumed with --resume lands on the SAME step_4 checkpoint (bitwise

@@ -128,6 +128,7 @@ def test_inversion_reduces_loss(optimize_e):
     assert l_last < l_first  # image loss decreased over 20 iterations
 
 
+@pytest.mark.heavy
 def test_inversion_lpips_cache_matches_uncached():
     """Hoisting the fixed target's LPIPS features out of the scan does not
     change the optimization trajectory: a plain-lambda lpips_fn (no
@@ -153,6 +154,7 @@ def test_inversion_lpips_cache_matches_uncached():
     )
 
 
+@pytest.mark.heavy
 def test_inversion_gradcam_attention():
     """embedding_v2_BigGAN-style inversion: grad-cam mask/overlay terms."""
     from tpugan.invert import EmbeddingConfig, make_embedder
@@ -226,6 +228,7 @@ def test_ssim_separable_matches_direct_2d(rng):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("optimize_e", [False, True])
+@pytest.mark.heavy
 def test_inversion_sharded_matches_single(optimize_e):
     """Mesh-sharded inversion (batch over ``data``, image height over
     ``space`` — SURVEY.md §2.6's 1024² pixel-gradient sharding applied to
@@ -307,6 +310,7 @@ def test_inversion_best_loss_monotone_run_keeps_arm_snapshot():
     assert float(result.loss_best) <= msiv[10] * (1.0 + 1e-6)
 
 
+@pytest.mark.heavy
 def test_inversion_exact_iteration_count_and_cadence():
     """iterations not divisible by chunk run EXACTLY iterations steps (a
     remainder chunk, not a silent round-up to the chunk size), and the

@@ -23,6 +23,7 @@ from tpugan.train.gan import (
 )
 
 
+@pytest.mark.heavy
 def test_adversarial_steps_update_both_networks(rng):
     layer_count, latent = 3, 32
     gen = StyleGANv1Generator(startf=8, maxf=32, layer_count=layer_count, latent_size=latent)

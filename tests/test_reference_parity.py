@@ -908,6 +908,7 @@ def test_inversion_trajectory_parity():
     assert rel < 0.15, rel
 
 
+@pytest.mark.heavy
 def test_ablation8_sequential_steps_parity():
     """Ablation step 8 (8.E_align_x_AT1_AT2.py:72-116): one forward graph,
     then FOUR sequential LREQAdam steps — imgs, 5*AT1, 9*AT2, 0.01*(w+c) —
@@ -1200,6 +1201,7 @@ def _e_align_trajectory(case):
     return ref_hist, ours_hist
 
 
+@pytest.mark.heavy
 def test_e_align_case1_trajectory_parity():
     """Case-1 E_align (E_align_cropping_s1.py): the detached image losses
     make the first optimizer step a no-op on E, so the trajectory is the
@@ -1237,6 +1239,7 @@ def test_e_align_case2_trajectory_parity():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.heavy
 def test_grad_cam_plus_plus_parity():
     """Grad-CAM++ + guided backprop + mask2cam vs the reference's OWN
     metric/grad_cam.py classes (cv2 is present in this image; torchvision
@@ -1319,6 +1322,7 @@ def test_grad_cam_plus_plus_parity():
     )
 
 
+@pytest.mark.heavy
 def test_e_mis_align_trajectory_parity():
     """Mis-align (Grad-CAM) training vs the reference's FULL eager loop
     (E_mis_align_cropping_s1.py:110-210): CAM++ masks on both images (GBP
@@ -1484,6 +1488,7 @@ def test_e_mis_align_trajectory_parity():
             np.testing.assert_allclose(ov, rv, rtol=rt, atol=1e-7)
 
 
+@pytest.mark.heavy
 def test_e_align_biggan_trajectory_parity():
     """Case-1 E_align for mtype 4 (E_align_cropping_s1.py:140-219 with the
     BigGAN branches): conditional E_BIG in TRAIN mode — torch's

@@ -185,6 +185,7 @@ def test_discriminator_shapes():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_decode3_blob_removal_and_mapping_variants(rng):
     from tpugan.models.stylegan1 import (
         StyleGANv1Mapping2,

@@ -80,6 +80,7 @@ def test_case1_image_losses_carry_no_gradient():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_dryrun_multichip_8_devices():
     import __graft_entry__ as ge
 
@@ -114,6 +115,7 @@ def test_train_step_seed_determinism():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_biggan_encoder_sn_state_updates_during_training():
     """The live spectral-norm u/v vectors power-iterate once per train step
     (torch updates them on every training forward, custom spectral_norm
@@ -184,6 +186,7 @@ def test_biggan_encoder_sn_state_updates_during_training():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_remat_policy_conv_outs_numerics():
     """Selective remat (save conv outputs, recompute elementwise chains)
     must not change the training numerics — only the traffic schedule."""
@@ -200,6 +203,7 @@ def test_remat_policy_conv_outs_numerics():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_mis_align_cam_bf16_close():
     """cam_bf16 runs the CAM++/GBP VGG stack in bf16. The attention losses
     are log-only (no gradient path to E), so the parameter update must be
@@ -248,6 +252,7 @@ def test_mis_align_cam_bf16_close():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_lean_step_bitwise():
     """compute_image_losses=False (the CLI's off-tick lean step): the
     case-1 image branch is detached/log-only, so a 3-step trajectory with
@@ -281,6 +286,7 @@ def test_lean_step_requires_detached_losses():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_lean_step_bitwise_mis_align():
     """compute_attention_losses=False: the mis-align CAM/GBP/image stack is
     log-only by construction, so lean off-tick steps keep the trajectory
@@ -337,6 +343,7 @@ def test_remat_flags_mutually_exclusive():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_checkpoint_resume_bitwise(tmp_path):
     """Train 2 steps, save, restore into a FRESH state template, continue
     2 more — the continued trajectory (params, optimizer state, step
@@ -373,6 +380,7 @@ def test_checkpoint_resume_bitwise(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_checkpoint_resume_bitwise_sn_state(tmp_path):
     """Resume carries the live spectral-norm u/v vectors too: a BigGAN
     E_BIG trajectory broken by save/restore stays bitwise identical."""
@@ -433,6 +441,7 @@ def test_checkpoint_resume_bitwise_sn_state(tmp_path):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("path", ["sg1_case2", "biggan_ebig", "mis_align", "inversion"])
+@pytest.mark.heavy
 def test_sharded_step_equals_single_device(path):
     """VERDICT r3 weak #3: each sharded dryrun path must compute the SAME
     update as the single-device step. The helpers assert three gates
