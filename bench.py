@@ -128,6 +128,59 @@ def compact_line(result, max_chars=MAX_LINE_CHARS):
         out = json.dumps(line)
     return out
 
+_CARRIED = None
+
+
+def _emit_carried_forward():
+    """Print the PREVIOUS completed run's compact line before touching jax.
+
+    The axon tunnel on this host wedges for hours at a time (measured
+    2026-08-20: jax.devices() hung >4 h); a bench run that hangs before
+    its first emission leaves the driver rc=124 with parsed:null. If a
+    previous run left BENCH_DETAILS.json, its compact line is printed
+    FIRST, tagged ``carried`` so it cannot be mistaken for a fresh
+    measurement; every fresh emission below replaces it as the last line.
+    """
+    global _CARRIED
+    try:
+        prev = json.loads(DETAILS_PATH.read_text())
+        if "value" not in prev:
+            return
+        line = json.loads(compact_line(prev, max_chars=1300))
+        line["carried"] = "prev completed run (BENCH_DETAILS.json); fresh lines replace this"
+        _CARRIED = line
+        print(json.dumps(line), flush=True)
+    except Exception:
+        pass
+
+
+def _device_watchdog(timeout_s=240.0):
+    """Exit 0 with an honest error line if device init never returns.
+
+    A wedged tunnel otherwise hangs the whole process until the driver's
+    timeout (rc=124). The emitted line keeps the carried-forward values
+    (if any) and adds the error marker, so the artifact both parses and
+    tells the truth about what happened.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            line = dict(_CARRIED or {"metric": "e_align_train_images_per_sec_256"})
+            line["err"] = (
+                f"device init unresponsive after {int(timeout_s)}s (axon tunnel wedged)"
+            )
+            print(json.dumps(line), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
+_emit_carried_forward()
+
 from tpugan.runtime import enable_compilation_cache
 
 enable_compilation_cache()
@@ -427,7 +480,11 @@ def main():
     def remaining():
         return budget - (time.perf_counter() - t_start)
 
-    peak = chip_peak_flops()
+    probe_done = _device_watchdog(
+        float(os.environ.get("TPUGAN_BENCH_DEVICE_TIMEOUT_S", "240"))
+    )
+    peak = chip_peak_flops()  # first tunnel contact (jax.devices())
+    probe_done.set()
     bw = chip_hbm_bw()
     lpips_fn = bench_lpips_fn()
 
