@@ -480,11 +480,16 @@ def main():
     def remaining():
         return budget - (time.perf_counter() - t_start)
 
+    # The watchdog must cover the first full measurement, not just device
+    # enumeration: in the wedged-tunnel state measured 2026-08-20,
+    # jax.devices() returns instantly but the first compile/execute hangs
+    # forever. 480s covers the measured ~290s cold-cache primary wall
+    # with margin while still exiting 0 with the carried line well inside
+    # the driver's >1106s envelope.
     probe_done = _device_watchdog(
-        float(os.environ.get("TPUGAN_BENCH_DEVICE_TIMEOUT_S", "240"))
+        float(os.environ.get("TPUGAN_BENCH_DEVICE_TIMEOUT_S", "480"))
     )
-    peak = chip_peak_flops()  # first tunnel contact (jax.devices())
-    probe_done.set()
+    peak = chip_peak_flops()
     bw = chip_hbm_bw()
     lpips_fn = bench_lpips_fn()
 
@@ -496,6 +501,7 @@ def main():
         lambda x: jnp.array(x, copy=True) if hasattr(x, "dtype") else x, state0
     )
     dt, flops, nb = time_step(step, state0, frozen, iters=30, want_flops=True)
+    probe_done.set()  # first real measurement completed — tunnel is live
 
     result = metric_entry("e_align_train_images_per_sec_256", BATCH, dt, flops, peak, nb, bw)
     result["vs_baseline"] = round(result["value"] / PRIMARY_BASELINE_IMG_S, 3)
