@@ -1,0 +1,113 @@
+"""Space-to-depth conv transform (ops/s2d.py): exactness vs direct conv.
+
+The transform re-expresses a stride-1 "same" conv on (H, W, C) as a conv
+on (H/2, W/2, 4C) with an expanded sparse kernel — same dot products with
+structural zeros added, so the gates here are fp-ulp tight, not
+approximate-parity loose.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpugan.ops.s2d import (
+    conv_s2d,
+    depth_to_space,
+    expand_kernel_s2d,
+    space_to_depth,
+)
+
+
+def _direct(x, w):
+    k = w.shape[0]
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((k // 2, k // 2),) * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def test_s2d_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 6))
+    y = space_to_depth(x, 2)
+    assert y.shape == (2, 4, 6, 24)
+    assert (depth_to_space(y, 2) == x).all()
+
+
+def test_s2d_channel_order():
+    # channel index is (ry, rx, c): block-row major, then block-col, then c
+    x = jnp.arange(2 * 2 * 3, dtype=jnp.float32).reshape(1, 2, 2, 3)
+    y = space_to_depth(x, 2)[0, 0, 0]
+    np.testing.assert_array_equal(
+        np.asarray(y), np.asarray(x).reshape(4, 3).reshape(-1)
+    )
+
+
+@pytest.mark.parametrize(
+    "h,w,c,k,ks",
+    [
+        (16, 16, 16, 16, 3),   # the SG2-1024 top-layer shape class
+        (8, 12, 5, 7, 3),      # non-square, odd channels
+        (16, 16, 16, 3, 1),    # ToRGB-style 1x1
+        (12, 12, 4, 4, 5),     # wider kernel
+    ],
+)
+def test_conv_s2d_matches_direct(h, w, c, k, ks):
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, c))
+    wt = jax.random.normal(jax.random.PRNGKey(2), (ks, ks, c, k))
+    wt = wt / np.sqrt(ks * ks * c)
+    ref = _direct(x, wt)
+    got = conv_s2d(x, wt)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_conv_s2d_domain_chaining():
+    # keeping activations in S2D domain across a two-conv chain is exact
+    c = 8
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, c))
+    w1 = jax.random.normal(jax.random.PRNGKey(4), (3, 3, c, c)) / np.sqrt(9 * c)
+    w2 = jax.random.normal(jax.random.PRNGKey(5), (3, 3, c, c)) / np.sqrt(9 * c)
+    ref = _direct(jax.nn.leaky_relu(_direct(x, w1), 0.2), w2)
+
+    h = conv_s2d(x, w1, in_s2d=False, out_s2d=True)
+    h = jax.nn.leaky_relu(h, 0.2)  # elementwise ops commute with S2D
+    got = conv_s2d(h, w2, in_s2d=True, out_s2d=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_conv_s2d_gradients_match():
+    c, k = 6, 5
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 8, c))
+    wt = jax.random.normal(jax.random.PRNGKey(7), (3, 3, c, k)) / np.sqrt(9 * c)
+
+    def loss_direct(x, w):
+        return jnp.sum(jnp.sin(_direct(x, w)))
+
+    def loss_s2d(x, w):
+        return jnp.sum(jnp.sin(conv_s2d(x, w)))
+
+    gx_r, gw_r = jax.grad(loss_direct, argnums=(0, 1))(x, wt)
+    gx_s, gw_s = jax.grad(loss_s2d, argnums=(0, 1))(x, wt)
+    # the weight-grad reduces over all pixels, so accumulation order
+    # differs between the two graphs: rel-tolerance, not exactness
+    np.testing.assert_allclose(
+        np.asarray(gx_s), np.asarray(gx_r), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_s), np.asarray(gw_r), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_expand_kernel_zeros_structure():
+    # the expanded 3x3 kernel has exactly 9 live taps per (c, k) pair
+    # spread over 3x3 x (2x2 out-phase) x (2x2 in-phase) slots
+    c = k = 2
+    wt = jnp.ones((3, 3, c, k))
+    w_s2d, (plo, phi) = expand_kernel_s2d(wt)
+    assert w_s2d.shape == (3, 3, 4 * c, 4 * k)
+    assert (plo, phi) == (1, 1)
+    # each OUTPUT phase receives exactly the 9 original taps (one live
+    # slot per (ky, kx)), spread across (di, dj, in-phase)
+    live = np.asarray(w_s2d).reshape(3, 3, 4, c, 4, k).sum(axis=(0, 1, 2))
+    np.testing.assert_array_equal(live, 9 * np.ones((c, 4, k)))

@@ -1,0 +1,138 @@
+"""Space-to-depth convolution — filling the TPU lane axis at the top of
+the pyramid.
+
+Why: the SG2-1024 / E_Blur top layers convolve 1024²/512² activations
+with 16/32 channels. On TPU the minor-most (channel) axis maps to the
+128-wide vector lane / MXU column dimension, so a 16-channel conv fills
+at most 1/8 of every lane-tile it touches — the measured b8 op profile
+is a flat tail of such movement-dominated conv fusions with MXU ≤ 0.3 %
+each (BASELINE.md, round-5 occupancy experiments). Space-to-depth (the
+MLPerf-ResNet "conv-S2D" trick, applied here to stride-1 stylegan convs)
+re-expresses the SAME convolution on a (H/2, W/2, 4C) tensor whose
+channel axis is 4× fuller, trading zero-padded lanes for real data.
+
+The transform is EXACT (not an approximation): for a stride-1 "same"
+k×k conv (odd k),
+
+    y[2i+oy, 2j+ox, k] = Σ_{ky,kx,c} w[ky,kx,c,k] · x[2i+oy+ky-p, 2j+ox+kx-p, c]
+
+and writing u = oy+ky-p = 2·di + ry (ry ∈ {0,1}) turns the sum into a
+⌈(k+1)/2⌉-tap conv over the S2D tensor x'[i,j,(ry,rx,c)] with an
+expanded kernel W'[di,dj,(ry,rx,c),(oy,ox,k)] that is w re-indexed with
+zeros where no (ky,kx) maps — adding structural zeros, so every output
+element is the same fp dot product with extra +0 terms. The reference's
+torch modules have no counterpart (CUDA cores don't pad lanes); this is
+a TPU-layout rewrite of model/stylegan2_generator.py:742-922's stride-1
+conv and model/E/E_Blur.py's top convs.
+
+FLOP accounting: the dense expanded conv computes 4× the MACs (most
+multiply structural zeros), but the replaced convs run at ≤0.3 % MXU —
+the point is fewer, fatter, better-tiled ops, not FLOP savings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "space_to_depth",
+    "depth_to_space",
+    "expand_kernel_s2d",
+    "conv_s2d",
+]
+
+
+def space_to_depth(x: jax.Array, b: int = 2) -> jax.Array:
+    """(N, H, W, C) -> (N, H/b, W/b, b*b*C); channel order (ry, rx, c)."""
+    n, h, w, c = x.shape
+    assert h % b == 0 and w % b == 0, (h, w, b)
+    x = x.reshape(n, h // b, b, w // b, b, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // b, w // b, b * b * c)
+
+
+def depth_to_space(y: jax.Array, b: int = 2) -> jax.Array:
+    """Inverse of :func:`space_to_depth`."""
+    n, h, w, cc = y.shape
+    c = cc // (b * b)
+    y = y.reshape(n, h, w, b, b, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, h * b, w * b, c)
+
+
+def _s2d_index_maps(k: int, b: int = 2):
+    """Static index/mask arrays for the kernel expansion (numpy, traced-free).
+
+    Returns (di_lo, kk, ky_idx, mask) where ky_idx[di, r, o] is the source
+    tap (clipped into range) and mask[di, r, o] its validity, for
+    u = o + ky - pad = b*di + r.
+    """
+    assert k % 2 == 1, "odd kernels only"
+    pad = k // 2
+    u_lo, u_hi = -pad, (b - 1) + (k - 1) - pad
+    di_lo = u_lo // b if u_lo >= 0 else -((-u_lo + b - 1) // b)
+    di_hi = u_hi // b
+    kk = di_hi - di_lo + 1
+    ky = np.zeros((kk, b, b), np.int32)
+    mask = np.zeros((kk, b, b), bool)
+    for t in range(kk):
+        di = di_lo + t
+        for r in range(b):
+            for o in range(b):
+                tap = b * di + r - o + pad
+                if 0 <= tap < k:
+                    ky[t, r, o] = tap
+                    mask[t, r, o] = True
+    return di_lo, kk, ky, mask
+
+
+def expand_kernel_s2d(w: jax.Array, b: int = 2):
+    """(k, k, C, K) -> (kk, kk, b²C, b²K) expanded kernel + S2D padding.
+
+    Returns (w_s2d, (pad_lo, pad_hi)) such that a stride-1 conv of the S2D
+    tensor with ``w_s2d`` under that padding equals the original "same"
+    conv (see module docstring for the exactness argument).
+    """
+    k = w.shape[0]
+    c, kout = w.shape[2], w.shape[3]
+    di_lo, kk, ky, mask = _s2d_index_maps(k, b)
+    # gather: out[di, dj, ry, rx, oy, ox, c, k] = w[ky(di,ry,oy), kx(dj,rx,ox)]
+    ky_b = ky[:, None, :, None, :, None]          # (kk,1,b,1,b,1)
+    kx_b = ky[None, :, None, :, None, :]          # (1,kk,1,b,1,b)
+    m = (mask[:, None, :, None, :, None] & mask[None, :, None, :, None, :])
+    gathered = w[ky_b, kx_b]                      # (kk,kk,b,b,b,b,C,K)
+    gathered = jnp.where(m[..., None, None], gathered, jnp.zeros((), w.dtype))
+    # -> (di, dj, ry, rx, c, oy, ox, k) -> (kk, kk, b²C, b²K)
+    gathered = gathered.transpose(0, 1, 2, 3, 6, 4, 5, 7)
+    w_s2d = gathered.reshape(kk, kk, b * b * c, b * b * kout)
+    return w_s2d, (-di_lo, kk - 1 + di_lo)
+
+
+def conv_s2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: int = 2,
+    in_s2d: bool = False,
+    out_s2d: bool = False,
+) -> jax.Array:
+    """Stride-1 "same" NHWC conv computed in space-to-depth domain.
+
+    ``in_s2d``/``out_s2d`` keep the input/output in the (H/b, W/b, b²C)
+    domain so chains of top-of-pyramid layers pay the reshape only at the
+    domain boundary.
+    """
+    if not in_s2d:
+        x = space_to_depth(x, b)
+    w_s2d, (plo, phi) = expand_kernel_s2d(w, b)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w_s2d,
+        window_strides=(1, 1),
+        padding=((plo, phi), (plo, phi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if not out_s2d:
+        y = depth_to_space(y, b)
+    return y
