@@ -99,6 +99,42 @@ def test_conv_s2d_gradients_match():
     )
 
 
+def test_eqconv_s2d_dispatch_matches(monkeypatch):
+    # the EqConv integration: flag-on output == flag-off output
+    from tpugan.nn.layers import EqConv
+
+    conv = EqConv(8, 3, padding=1, use_bias=False)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 16, 16, 8))
+    v = conv.init(jax.random.PRNGKey(9), x)
+    ref = conv.apply(v, x)
+    monkeypatch.setenv("TPUGAN_S2D", "1")
+    monkeypatch.setenv("TPUGAN_S2D_MIN_H", "16")
+    got = conv.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_modulated_conv_s2d_dispatch_matches(monkeypatch):
+    from tpugan.models.stylegan2 import ModulatedConv
+
+    mc = ModulatedConv(in_channels=8, out_channels=8, resolution=16)
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, 16, 16, 8))
+    w = jax.random.normal(jax.random.PRNGKey(11), (2, 32))
+    v = mc.init({"params": jax.random.PRNGKey(12)}, x, w)
+    ref, _ = mc.apply(v, x, w)
+    monkeypatch.setenv("TPUGAN_S2D", "1")
+    monkeypatch.setenv("TPUGAN_S2D_MIN_H", "16")
+    got, _ = mc.apply(v, x, w)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_s2d_off_by_default():
+    from tpugan.ops.s2d import use_s2d
+
+    assert use_s2d(1024, 1024, 16) is False  # env flag absent in tests
+
+
 def test_expand_kernel_zeros_structure():
     # the expanded 3x3 kernel has exactly 9 live taps per (c, k) pair
     # spread over 3x3 x (2x2 out-phase) x (2x2 in-phase) slots

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from tpugan.ops.basic import leaky_relu, pixel_norm
+from tpugan.ops.s2d import conv_s2d, use_s2d
 from tpugan.ops.upfirdn import setup_fir_kernel, upfirdn2d
 
 _WSCALE_GAIN = 1.0
@@ -241,6 +242,11 @@ class ModulatedConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             y = upfirdn2d(y, fir, pad=(pad0, pad1), gain=float(self.scale_factor**2))
+        elif k % 2 == 1 and use_s2d(x.shape[1], x.shape[2], self.in_channels):
+            # lane-filling space-to-depth form of the SAME conv (opt-in,
+            # TPUGAN_S2D=1; ops/s2d.py) — targets the 32-channel 1024²
+            # stride-1 layer the b8 occupancy audit flagged
+            y = conv_s2d(x, weight)
         else:
             y = jax.lax.conv_general_dilated(
                 x,

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from tpugan.ops.eq_lr import eq_lr_std, transform_kernel_2d
+from tpugan.ops.s2d import conv_s2d, use_s2d
 
 
 def _pair(x) -> tuple[int, int]:
@@ -115,6 +116,18 @@ class EqConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.groups,
             )
+        elif (
+            (sh, sw) == (1, 1)
+            and self.groups == 1
+            and kh == kw
+            and kh % 2 == 1
+            and (ph, pw) == (kh // 2, kw // 2)
+            and use_s2d(x.shape[1], x.shape[2], in_features)
+        ):
+            # lane-filling space-to-depth form of the SAME conv (opt-in,
+            # TPUGAN_S2D=1; see ops/s2d.py for the exactness argument and
+            # the measured dispatch policy)
+            y = conv_s2d(x, w)
         else:
             y = jax.lax.conv_general_dilated(
                 x,

@@ -32,6 +32,8 @@ the point is fewer, fatter, better-tiled ops, not FLOP savings.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -41,7 +43,27 @@ __all__ = [
     "depth_to_space",
     "expand_kernel_s2d",
     "conv_s2d",
+    "use_s2d",
 ]
+
+
+def use_s2d(h: int, w: int, c: int, explicit: bool | None = None) -> bool:
+    """Dispatch policy for the S2D conv path: OPT-IN (TPUGAN_S2D=1).
+
+    Like the Pallas FIR kernels (ops/upfirdn.py::_use_pallas), this stays
+    off until measured end-to-end in context — standalone wins have
+    inverted in-context twice in this repo's history. When enabled, only
+    convs whose channel axis underfills the 128-lane tile on large
+    spatial extents dispatch (thresholds env-overridable for tests and
+    experiments: TPUGAN_S2D_MIN_H, default 512; TPUGAN_S2D_MAX_C, 32).
+    """
+    if explicit is not None:
+        return explicit
+    if os.environ.get("TPUGAN_S2D", "").lower() not in ("1", "true", "on"):
+        return False
+    min_h = int(os.environ.get("TPUGAN_S2D_MIN_H", "512"))
+    max_c = int(os.environ.get("TPUGAN_S2D_MAX_C", "32"))
+    return h >= min_h and w >= min_h and h % 2 == 0 and w % 2 == 0 and c <= max_c
 
 
 def space_to_depth(x: jax.Array, b: int = 2) -> jax.Array:
