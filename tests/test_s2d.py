@@ -99,6 +99,59 @@ def test_conv_s2d_gradients_match():
     )
 
 
+@pytest.mark.parametrize("ks,pad", [(4, 1), (3, 1), (2, 0)])
+def test_conv_s2d_stride2_matches_direct(ks, pad):
+    # the E_Blur fused-scale shapes: 4x4 pad-1 (transform_kernel), plus
+    # odd/even variants
+    from tpugan.ops.s2d import conv_s2d_stride2
+
+    c, k = 6, 10
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, 16, 16, c))
+    wt = jax.random.normal(jax.random.PRNGKey(21), (ks, ks, c, k))
+    wt = wt / np.sqrt(ks * ks * c)
+    ref = jax.lax.conv_general_dilated(
+        x, wt, (2, 2), ((pad, pad),) * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = conv_s2d_stride2(x, wt, pad)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_blur3x3_s2d_matches():
+    from tpugan.ops.s2d import blur3x3_s2d
+    from tpugan.ops.upfirdn import blur3x3, setup_fir_kernel
+
+    x = jax.random.normal(jax.random.PRNGKey(22), (2, 16, 16, 5))
+    ref = blur3x3(x)
+    got = depth_to_space(blur3x3_s2d(space_to_depth(x), setup_fir_kernel((1.0, 2.0, 1.0))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_e_blur_top_chain_in_s2d_domain():
+    # the full E_Blur top-block compute path stays in S2D domain:
+    # conv3x3 -> lrelu -> blur -> stride-2 4x4 (transform_kernel), exact
+    from tpugan.ops.s2d import blur3x3_s2d, conv_s2d_stride2
+    from tpugan.ops.upfirdn import blur3x3, setup_fir_kernel
+
+    c, cout = 8, 16
+    x = jax.random.normal(jax.random.PRNGKey(23), (2, 16, 16, c))
+    w1 = jax.random.normal(jax.random.PRNGKey(24), (3, 3, c, c)) / np.sqrt(9 * c)
+    w2 = jax.random.normal(jax.random.PRNGKey(25), (4, 4, c, cout)) / np.sqrt(16 * c)
+
+    h = jax.nn.leaky_relu(_direct(x, w1), 0.2)
+    h = blur3x3(h)
+    ref = jax.lax.conv_general_dilated(
+        h, w2, (2, 2), ((1, 1),) * 2, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+    hs = conv_s2d(x, w1, out_s2d=True)
+    hs = jax.nn.leaky_relu(hs, 0.2)
+    hs = blur3x3_s2d(hs, setup_fir_kernel((1.0, 2.0, 1.0)))
+    got = conv_s2d_stride2(hs, w2, pad=1, in_s2d=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
 def test_eqconv_s2d_dispatch_matches(monkeypatch):
     # the EqConv integration: flag-on output == flag-off output
     from tpugan.nn.layers import EqConv

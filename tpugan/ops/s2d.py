@@ -42,7 +42,10 @@ __all__ = [
     "space_to_depth",
     "depth_to_space",
     "expand_kernel_s2d",
+    "expand_kernel_s2d_stride",
     "conv_s2d",
+    "conv_s2d_stride2",
+    "blur3x3_s2d",
     "use_s2d",
 ]
 
@@ -130,6 +133,89 @@ def expand_kernel_s2d(w: jax.Array, b: int = 2):
     gathered = gathered.transpose(0, 1, 2, 3, 6, 4, 5, 7)
     w_s2d = gathered.reshape(kk, kk, b * b * c, b * b * kout)
     return w_s2d, (-di_lo, kk - 1 + di_lo)
+
+
+def _stride2_index_maps(k: int, pad: int, b: int = 2):
+    """Index/mask arrays for the STRIDED (block-consuming) expansion.
+
+    A stride-b conv has no output phase: y[i] reads x[b·i + ky - pad], so
+    ky - pad = b·di + ry maps each tap to one (block offset, in-phase).
+    """
+    u_lo, u_hi = -pad, (k - 1) - pad
+    di_lo = u_lo // b if u_lo >= 0 else -((-u_lo + b - 1) // b)
+    di_hi = u_hi // b
+    kk = di_hi - di_lo + 1
+    ky = np.zeros((kk, b), np.int32)
+    mask = np.zeros((kk, b), bool)
+    for t in range(kk):
+        for r in range(b):
+            tap = b * (di_lo + t) + r + pad
+            if 0 <= tap < k:
+                ky[t, r] = tap
+                mask[t, r] = True
+    return di_lo, kk, ky, mask
+
+
+def expand_kernel_s2d_stride(w: jax.Array, pad: int, b: int = 2):
+    """(k, k, C, K) stride-b kernel -> (kk, kk, b²C, K) block-grid kernel.
+
+    The output lives on the block grid directly (a stride-b conv already
+    produces H/b outputs), so only the INPUT gets phase-expanded. Covers
+    the E_Blur fused-scale convs (4×4 stride-2 after transform_kernel,
+    pad 1: lreq.py:129-131) exactly.
+    """
+    c, kout = w.shape[2], w.shape[3]
+    di_lo, kk, ky, mask = _stride2_index_maps(w.shape[0], pad, b)
+    ky_b = ky[:, None, :, None]                   # (kk,1,b,1)
+    kx_b = ky[None, :, None, :]                   # (1,kk,1,b)
+    m = mask[:, None, :, None] & mask[None, :, None, :]
+    gathered = w[ky_b, kx_b]                      # (kk,kk,b,b,C,K)
+    gathered = jnp.where(m[..., None, None], gathered, jnp.zeros((), w.dtype))
+    w_blk = gathered.reshape(kk, kk, b * b * c, kout)
+    return w_blk, (-di_lo, kk - 1 + di_lo)
+
+
+def conv_s2d_stride2(
+    x: jax.Array,
+    w: jax.Array,
+    pad: int,
+    b: int = 2,
+    in_s2d: bool = False,
+) -> jax.Array:
+    """Stride-2 NHWC conv consuming a space-to-depth input.
+
+    Equals ``conv(x, w, stride=2, padding=pad)`` for inputs whose spatial
+    extent is a multiple of 2 and whose output size is H/2 (the
+    fused-scale downsamplers in this zoo). Output is a NORMAL tensor at
+    the block-grid resolution — a stride-2 conv is the natural S2D-domain
+    EXIT, so chains pay no depth-to-space at the bottom.
+    """
+    if not in_s2d:
+        x = space_to_depth(x, b)
+    w_blk, (plo, phi) = expand_kernel_s2d_stride(w, pad, b)
+    return jax.lax.conv_general_dilated(
+        x,
+        w_blk,
+        window_strides=(1, 1),
+        padding=((plo, phi), (plo, phi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def blur3x3_s2d(x_s2d: jax.Array, fir: np.ndarray, b: int = 2) -> jax.Array:
+    """Depthwise 3×3 FIR applied IN the S2D domain.
+
+    The depthwise filter is lifted to a dense (3,3,C,C) kernel with the
+    FIR on the diagonal, then phase-expanded like any conv — structural
+    zeros only, so the result is the exact depthwise blur. At C=16/32 the
+    dense form is ≤64×64 per tap: trivial MXU work in exchange for
+    staying in the lane-filled domain.
+    """
+    cc = x_s2d.shape[-1]
+    c = cc // (b * b)
+    eye = np.eye(c, dtype=np.float32)
+    dense = jnp.asarray(fir[:, :, None, None] * eye[None, None], x_s2d.dtype)
+    return conv_s2d(x_s2d, dense, b=b, in_s2d=True, out_s2d=True)
 
 
 def conv_s2d(
