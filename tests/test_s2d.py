@@ -182,6 +182,51 @@ def test_modulated_conv_s2d_dispatch_matches(monkeypatch):
     )
 
 
+def test_encoder_block_s2d_domain_matches(monkeypatch):
+    # the whole fused-scale E_Blur block in S2D domain == normal path
+    # (same params, same rng draw; reassociation-level tolerance)
+    from tpugan.models.encoders import Encoder
+
+    enc = Encoder(startf=8, maxf=32, layer_count=3, latent_size=32, use_blur=True)
+    x = jax.random.normal(jax.random.PRNGKey(30), (2, 16, 16, 3))
+    v = enc.init({"params": jax.random.PRNGKey(31), "noise": jax.random.PRNGKey(32)}, x)
+    const_ref, w_ref = enc.apply(v, x, rngs={"noise": jax.random.PRNGKey(33)})
+    monkeypatch.setenv("TPUGAN_S2D", "1")
+    monkeypatch.setenv("TPUGAN_S2D_MIN_H", "8")
+    const_got, w_got = enc.apply(v, x, rngs={"noise": jax.random.PRNGKey(33)})
+    np.testing.assert_allclose(
+        np.asarray(w_got), np.asarray(w_ref), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(const_got), np.asarray(const_ref), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_encoder_block_s2d_gradients_close(monkeypatch):
+    # the S2D-domain block is in the training gradient path: check grads
+    from tpugan.models.encoders import Encoder
+
+    enc = Encoder(
+        startf=8, maxf=32, layer_count=3, latent_size=32, use_blur=True,
+        use_noise=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(34), (2, 16, 16, 3))
+    v = enc.init({"params": jax.random.PRNGKey(35)}, x)
+
+    def loss(params):
+        const, w = enc.apply({**v, "params": params}, x)
+        return jnp.sum(const**2) + jnp.sum(w**2)
+
+    g_ref = jax.grad(loss)(v["params"])
+    monkeypatch.setenv("TPUGAN_S2D", "1")
+    monkeypatch.setenv("TPUGAN_S2D_MIN_H", "8")
+    g_got = jax.grad(loss)(v["params"])
+    for a, b in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4
+        )
+
+
 def test_s2d_off_by_default():
     from tpugan.ops.s2d import use_s2d
 

@@ -40,7 +40,16 @@ from tpugan.ops.basic import (
     leaky_relu,
     noise_inject,
 )
-from tpugan.ops.upfirdn import blur3x3
+from tpugan.ops.s2d import (
+    blur3x3_s2d,
+    s2d_instance_moments,
+    s2d_instance_norm,
+    s2d_phase_mean,
+    s2d_tile_channel,
+    space_to_depth,
+    use_s2d,
+)
+from tpugan.ops.upfirdn import blur3x3, setup_fir_kernel
 
 
 class EncoderBlock(nn.Module):
@@ -62,6 +71,16 @@ class EncoderBlock(nn.Module):
     def __call__(self, x, noise: Optional[Sequence[jax.Array]] = None):
         if self.block_version == 1:
             return self._v1_forward(x, noise)
+        if (
+            self.fused_scale
+            and self.has_last_conv
+            and use_s2d(x.shape[1], x.shape[2], self.in_features)
+        ):
+            # opt-in (TPUGAN_S2D=1): the whole top-of-pyramid block runs
+            # in space-to-depth domain so its lane-starved 16/32-channel
+            # convs fill the 128-lane tile (ops/s2d.py); parameters and
+            # semantics identical, reshape paid once at the block edge
+            return self._s2d_forward(x, noise)
         cin, cout = self.in_features, self.out_features
         emit_styles = self.style_mode != "none"
         w1 = w2 = None
@@ -125,6 +144,74 @@ class EncoderBlock(nn.Module):
 
         x = 0.111 * x + 0.889 * residual
         return x, w1, w2
+
+    def _s2d_forward(self, x, noise):
+        """The fused-scale v2 block computed in space-to-depth domain.
+
+        Numerically the normal path up to reduction/accumulation order
+        (convs/moments reassociate; the noise draw is the SAME original-
+        resolution draw, reshaped). Parameter names/shapes are identical.
+        """
+        cin, cout = self.in_features, self.out_features
+        emit_styles = self.style_mode != "none"
+        w1 = w2 = None
+        n, hh, ww, _ = x.shape
+
+        def stats(ys):
+            mean, std = s2d_instance_moments(ys)
+            if self.style_stats == "std":
+                nhw = ys.shape[1] * ys.shape[2] * 4
+                return std * jnp.sqrt(nhw / max(nhw - 1, 1))
+            return jnp.concatenate([mean, std], axis=-1)
+
+        xs = space_to_depth(x)
+        if emit_styles:
+            w1 = EqLinear(self.latent_size, gain=1.0, name="inver_mod1")(stats(xs))
+
+        residual_s = xs
+        xs = s2d_instance_norm(xs)
+        xs = EqConv(cin, 3, padding=1, use_bias=False, name="conv_1")(
+            xs, s2d_in=True, s2d_out=True
+        )
+
+        key1 = key2 = None
+        if self.use_noise and noise is None and self.has_rng("noise"):
+            key1, key2 = jax.random.split(self.make_rng("noise"))
+        if self.use_noise:
+            nw1 = self.param("noise_weight_1", nn.initializers.zeros, (cin,))
+            n1 = noise[0] if noise is not None else None
+            if n1 is None and key1 is not None:
+                n1 = jax.random.normal(key1, (n, hh, ww, 1), dtype=xs.dtype)
+            if n1 is not None:
+                xs = xs + s2d_tile_channel(nw1) * jnp.repeat(
+                    space_to_depth(n1), cin, axis=-1
+                )
+        b1 = self.param("bias_1", nn.initializers.zeros, (cin,))
+        xs = leaky_relu(xs + s2d_tile_channel(b1), 0.2)
+
+        if emit_styles:
+            w2 = EqLinear(self.latent_size, gain=1.0, name="inver_mod2")(stats(xs))
+            if self.style_mode == "single":
+                w1 = w2
+
+        xs = s2d_instance_norm(xs)
+        if self.use_blur:
+            xs = blur3x3_s2d(xs, setup_fir_kernel((1.0, 2.0, 1.0)))
+        x = EqConv(
+            cout, 3, stride=2, padding=1, use_bias=False,
+            transform_kernel=True, name="conv_2",
+        )(xs, s2d_in=True)
+        if self.use_noise:
+            nw2 = self.param("noise_weight_2", nn.initializers.zeros, (cout,))
+            n2 = noise[1] if noise is not None else None
+            x = noise_inject(x, nw2, key2, n2)
+        b2 = self.param("bias_2", nn.initializers.zeros, (cout,))
+        x = leaky_relu(x + b2, 0.2)
+
+        residual = s2d_phase_mean(residual_s)
+        if cin != cout:
+            residual = EqConv(cout, 1, name="conv_3")(residual)
+        return 0.111 * x + 0.889 * residual, w1, w2
 
     def _v1_forward(self, x, noise):
         """E_v1 block (Ablation_Study/E_v1.py:67-100): conv before IN,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from tpugan.ops.eq_lr import eq_lr_std, transform_kernel_2d
-from tpugan.ops.s2d import conv_s2d, use_s2d
+from tpugan.ops.s2d import conv_s2d, conv_s2d_stride2, use_s2d
 
 
 def _pair(x) -> tuple[int, int]:
@@ -83,8 +83,13 @@ class EqConv(nn.Module):
     transform_kernel: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_features = x.shape[-1]
+    def __call__(
+        self, x: jax.Array, s2d_in: bool = False, s2d_out: bool = False
+    ) -> jax.Array:
+        # s2d_in/s2d_out: the input/output stays in space-to-depth domain
+        # (ops/s2d.py) — parameters are IDENTICAL to the normal path, only
+        # the compute is phase-expanded, so checkpoints are unaffected.
+        in_features = x.shape[-1] // (4 if s2d_in else 1)
         kh, kw = _pair(self.kernel_size)
         sh, sw = _pair(self.stride)
         ph, pw = _pair(self.padding)
@@ -116,6 +121,17 @@ class EqConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.groups,
             )
+        elif s2d_in or s2d_out:
+            # explicit S2D-domain call from a chained block
+            # (models/encoders.py): stride-1 convs stay in domain,
+            # stride-2 (fused-scale) convs consume the domain and exit at
+            # the block grid
+            if (sh, sw) == (1, 1):
+                assert self.groups == 1 and kh == kw and kh % 2 == 1
+                y = conv_s2d(x, w, in_s2d=s2d_in, out_s2d=s2d_out)
+            else:
+                assert (sh, sw) == (2, 2) and self.groups == 1 and not s2d_out
+                y = conv_s2d_stride2(x, w, pad=ph, in_s2d=s2d_in)
         elif (
             (sh, sw) == (1, 1)
             and self.groups == 1
@@ -145,5 +161,5 @@ class EqConv(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             if self.is_initializing():
                 self.variable("lreq", "bias_coef", lambda: jnp.float32(self.lrmul))
-            y = y + bias
+            y = y + (jnp.tile(bias, 4) if s2d_out else bias)
         return y

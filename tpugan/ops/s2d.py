@@ -218,6 +218,49 @@ def blur3x3_s2d(x_s2d: jax.Array, fir: np.ndarray, b: int = 2) -> jax.Array:
     return conv_s2d(x_s2d, dense, b=b, in_s2d=True, out_s2d=True)
 
 
+def s2d_instance_moments(x_s2d: jax.Array, b: int = 2):
+    """Per-sample, per-ORIGINAL-channel spatial mean/std in S2D domain.
+
+    Same statistics as ops/basic.py::instance_moments on the
+    depth-to-space tensor (the b² phase channels of each original channel
+    are part of its spatial extent); fp32 accumulation like the original.
+    """
+    n, h, w, cc = x_s2d.shape
+    c = cc // (b * b)
+    x32 = x_s2d.astype(jnp.float32).reshape(n, h, w, b * b, c)
+    mean = jnp.mean(x32, axis=(1, 2, 3))
+    var = jnp.mean(
+        jnp.square(x32 - mean[:, None, None, None, :]), axis=(1, 2, 3)
+    )
+    return mean.astype(x_s2d.dtype), jnp.sqrt(var).astype(x_s2d.dtype)
+
+
+def s2d_instance_norm(x_s2d: jax.Array, b: int = 2, epsilon: float = 1e-8):
+    """ops/basic.py::instance_norm computed in S2D domain."""
+    n, h, w, cc = x_s2d.shape
+    c = cc // (b * b)
+    x32 = x_s2d.astype(jnp.float32).reshape(n, h, w, b * b, c)
+    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + epsilon)
+    return y.reshape(n, h, w, cc).astype(x_s2d.dtype)
+
+
+def s2d_phase_mean(x_s2d: jax.Array, b: int = 2) -> jax.Array:
+    """2×2 average-pool via the phase axis: == ops/basic.py::downscale2d
+    of the depth-to-space tensor (each block's b² pixels ARE its phases).
+    Output is a NORMAL tensor at the block-grid resolution."""
+    n, h, w, cc = x_s2d.shape
+    c = cc // (b * b)
+    return jnp.mean(x_s2d.reshape(n, h, w, b * b, c), axis=3)
+
+
+def s2d_tile_channel(v: jax.Array, b: int = 2) -> jax.Array:
+    """Broadcast a per-original-channel vector over the phase channels
+    ((ry, rx, c) channel order: phases major, c minor)."""
+    return jnp.tile(v, b * b)
+
+
 def conv_s2d(
     x: jax.Array,
     w: jax.Array,
