@@ -39,6 +39,13 @@ VARIANTS = {
     "remat_conv": ({}, "", {"remat_policy": "conv_outs"}),
     "remat_full": ({}, "", {"remat": True}),
     "donate": ({}, "", {"donate": True}),
+    # space-to-depth domain for the lane-starved top-of-pyramid convs
+    # (ops/s2d.py): E_Blur's 16ch@1024²/32ch@512² blocks run fully in
+    # S2D domain; the G's 32ch@1024² stride-1 ModulatedConv drops in
+    "s2d": ({"TPUGAN_S2D": "1"}, "", {}),
+    # wider policy: also the 64ch@256² block
+    "s2d_wide": ({"TPUGAN_S2D": "1", "TPUGAN_S2D_MIN_H": "256",
+                  "TPUGAN_S2D_MAX_C": "64"}, "", {}),
 }
 
 
